@@ -1,0 +1,99 @@
+"""Grid (voxel) subsampling with fixed shapes.
+
+Reproduces the reference semantics (core/subsampling.py:5-39): voxelize at
+``voxel_size``, and in each non-empty voxel keep the index of the point closest
+to the voxel barycenter.  The reference uses ``np.unique(axis=0)`` + a Python
+loop over voxels; here the whole thing is two lexicographic device sorts plus
+segment reductions — shapes stay ``(N,)`` with a validity mask, so it runs
+inside ``jit`` and shards over the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def grid_subsample_masked(points: jnp.ndarray, voxel_size) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Voxel subsampling.  Returns ``(indices, mask)`` both of shape ``(N,)``:
+    ``indices[mask]`` are the selected representatives (ascending original
+    index), padded with ``N`` where invalid.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    cell = jnp.floor((points - jnp.min(points, axis=0)) / voxel_size).astype(jnp.int32)
+
+    # Lexicographic sort by (cx, cy, cz); carry the original index.
+    orig = jnp.arange(n, dtype=jnp.int32)
+    cx, cy, cz, order = jax.lax.sort(
+        (cell[:, 0], cell[:, 1], cell[:, 2], orig), num_keys=3, is_stable=True
+    )
+    sorted_cell = jnp.stack([cx, cy, cz], axis=1)
+
+    # Voxel segment ids along the sorted order.
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(sorted_cell[1:] != sorted_cell[:-1], axis=1)]
+    )
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+
+    sorted_pts = points[order]
+    ones = jnp.ones((n,), jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=n)
+    sums = jax.ops.segment_sum(sorted_pts, seg, num_segments=n)
+    bary = sums / jnp.maximum(counts, 1.0)[:, None]
+
+    d = jnp.linalg.norm(sorted_pts - bary[seg], axis=1)
+
+    # Per-voxel argmin of distance-to-barycenter: a second lexicographic sort by
+    # (segment, distance); each segment's first element is its representative.
+    seg2, _, order2 = jax.lax.sort((seg, d, order), num_keys=2, is_stable=True)
+    first = jnp.concatenate([jnp.ones((1,), bool), seg2[1:] != seg2[:-1]])
+    marked = jnp.where(first, order2, n)
+    indices = jnp.sort(marked)
+    mask = indices < n
+    return jnp.where(mask, indices, n), mask
+
+
+def grid_subsample(points, voxel_size) -> np.ndarray:
+    """Host-facing wrapper matching the reference's ``grid_subsampling``:
+    returns the compacted int array of selected indices."""
+    idx, mask = grid_subsample_masked(jnp.asarray(points), voxel_size)
+    return np.asarray(idx)[np.asarray(mask)]
+
+
+@jax.jit
+def voxel_counts_for_representatives(points: jnp.ndarray, voxel_size):
+    """For each selected voxel representative, the number of points in its voxel.
+    Returns ``(indices, mask, counts)`` aligned with ``grid_subsample_masked``.
+
+    Used by density-threshold keypoint selection
+    (reference keypoint_selection.py:65-122, branch where the density radius
+    equals the voxel size and the criterion is the voxel population).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    cell = jnp.floor((points - jnp.min(points, axis=0)) / voxel_size).astype(jnp.int32)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    cx, cy, cz, order = jax.lax.sort(
+        (cell[:, 0], cell[:, 1], cell[:, 2], orig), num_keys=3, is_stable=True
+    )
+    sorted_cell = jnp.stack([cx, cy, cz], axis=1)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(sorted_cell[1:] != sorted_cell[:-1], axis=1)]
+    )
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    sorted_pts = points[order]
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg, num_segments=n)
+    bary = jax.ops.segment_sum(sorted_pts, seg, num_segments=n) / jnp.maximum(counts, 1.0)[:, None]
+    d = jnp.linalg.norm(sorted_pts - bary[seg], axis=1)
+    seg2, _, order2 = jax.lax.sort((seg, d, order), num_keys=2, is_stable=True)
+    first = jnp.concatenate([jnp.ones((1,), bool), seg2[1:] != seg2[:-1]])
+    # representative -> its voxel count
+    rep_counts = jnp.where(first, counts[seg2].astype(jnp.int32), 0)
+    marked = jnp.where(first, order2, n)
+    # sort marked (and carry counts) so representatives pack to the front
+    indices, rep_counts = jax.lax.sort((marked, rep_counts), num_keys=1, is_stable=True)
+    mask = indices < n
+    return jnp.where(mask, indices, n), mask, rep_counts

@@ -1,0 +1,114 @@
+"""FPFH (Fast Point Feature Histograms), batched TPU formulation.
+
+Algorithmic parity with the reference (descriptors/fpfh.py:16-117), which
+implements Rusu et al. 2009:
+
+- Pass 1 (SPFH): for every cloud point, the Darboux-frame angles
+  ``α = v·n_j``, ``φ = (p_j−p_i)·u/‖p_j−p_i‖``, ``θ = atan2(n_j·w, n_j·u)``
+  over its radius neighborhood (``u = n_i``, ``v = (p_j−p_i)×u`` — kept
+  *unnormalized* exactly as the reference does, so out-of-range α values fall
+  outside the histogram and are dropped, matching ``np.histogramdd`` range
+  semantics), accumulated in either a joint ``n_bins³`` histogram or three
+  decorrelated 1-D histograms, normalized by the neighborhood size (self
+  included).
+- Pass 2 (FPFH): ``FPFH(p) = SPFH(p) + (1/|N(p)|) Σ_j SPFH(p_j)/d_j``.
+
+The reference loops in Python over all N points; here both passes are masked
+batched tensor ops (one ``radius_search``, one batched-histogram scatter, one
+chunked gather-reduce).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.histogram import batched_histogram, bin_index
+from ..ops.neighbors import radius_search
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "k_max", "decorrelated"))
+def compute_spfh(
+    cloud_points: jnp.ndarray,
+    normals: jnp.ndarray,
+    radius,
+    n_bins: int,
+    k_max: int = 128,
+    decorrelated: bool = False,
+):
+    """SPFH for every cloud point.  Returns (spfh (N, D), neighborhoods)."""
+    cloud = jnp.asarray(cloud_points, jnp.float32)
+    nrm = jnp.asarray(normals, jnp.float32)
+    nbr = radius_search(cloud, cloud, radius, k_max)
+
+    p_j = cloud[nbr.idx]  # (N, K, 3)
+    n_j = nrm[nbr.idx]
+    diff = p_j - cloud[:, None, :]
+    d = nbr.dist
+    valid = nbr.mask & (d > 0)
+
+    u = nrm[:, None, :]  # (N, 1, 3)
+    v = jnp.cross(diff, jnp.broadcast_to(u, diff.shape))
+    w = jnp.cross(jnp.broadcast_to(u, diff.shape), v)
+    alpha = jnp.sum(v * n_j, axis=-1)
+    phi = jnp.sum(diff * u, axis=-1) / jnp.where(valid, d, 1.0)
+    theta = jnp.arctan2(jnp.sum(n_j * w, axis=-1), jnp.sum(n_j * u, axis=-1))
+
+    a_bin, a_in = bin_index(alpha, -1.0, 1.0, n_bins)
+    p_bin, p_in = bin_index(phi, -1.0, 1.0, n_bins)
+    t_bin, t_in = bin_index(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
+
+    count = jnp.maximum(jnp.sum(nbr.mask, axis=-1), 1).astype(jnp.float32)
+    if decorrelated:
+        parts = []
+        for b, in_r in ((a_bin, a_in), (p_bin, p_in), (t_bin, t_in)):
+            wgt = (valid & in_r).astype(jnp.float32)
+            parts.append(batched_histogram(b, wgt, n_bins))
+        # reference layout: np.vstack((h_alpha, h_phi, h_theta)).T ravel —
+        # i.e. interleaved (bin0: α,φ,θ, bin1: α,φ,θ, ...)
+        spfh = jnp.stack(parts, axis=-1).reshape(cloud.shape[0], 3 * n_bins)
+    else:
+        flat = (a_bin * n_bins + p_bin) * n_bins + t_bin
+        wgt = (valid & a_in & p_in & t_in).astype(jnp.float32)
+        spfh = batched_histogram(flat, wgt, n_bins**3)
+    return spfh / count[:, None], nbr
+
+
+@functools.partial(jax.jit, static_argnames=("kp_chunk",))
+def _fpfh_aggregate(spfh, nbr_idx, nbr_dist, nbr_mask, keypoint_indices, kp_chunk: int = 256):
+    """FPFH(p) = SPFH(p) + (Σ_{j, d>0} SPFH(j)/d_j) / |N(p)| over keypoints."""
+    n_kp = keypoint_indices.shape[0]
+    n_chunks = -(-n_kp // kp_chunk)
+    pad = n_chunks * kp_chunk - n_kp
+    kp = jnp.pad(keypoint_indices, (0, pad)).reshape(n_chunks, kp_chunk)
+
+    def one_chunk(kp_c):
+        idx = nbr_idx[kp_c]  # (C, K)
+        d = nbr_dist[kp_c]
+        m = nbr_mask[kp_c] & (d > 0)
+        weights = jnp.where(m, 1.0 / jnp.where(m, d, 1.0), 0.0)
+        acc = jnp.einsum("ckd,ck->cd", spfh[idx], weights)
+        count = jnp.maximum(jnp.sum(nbr_mask[kp_c], axis=-1), 1).astype(jnp.float32)
+        return spfh[kp_c] + acc / count[:, None]
+
+    out = jax.lax.map(one_chunk, kp)
+    return out.reshape(n_chunks * kp_chunk, -1)[:n_kp]
+
+
+def compute_fpfh_descriptor(
+    keypoint_indices,
+    cloud_points,
+    normals,
+    radius,
+    n_bins: int = 5,
+    decorrelated: bool = False,
+    k_max: int = 128,
+):
+    """Full FPFH pipeline (reference ``compute_fpfh_descriptor``,
+    descriptors/fpfh.py:16-117).  Returns (n_keypoints, n_bins³) descriptors
+    (or (n_keypoints, 3·n_bins) when decorrelated)."""
+    spfh, nbr = compute_spfh(cloud_points, normals, radius, n_bins, k_max, decorrelated)
+    kp = jnp.asarray(keypoint_indices, jnp.int32)
+    return _fpfh_aggregate(spfh, nbr.idx, nbr.dist, nbr.mask, kp)

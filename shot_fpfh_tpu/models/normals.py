@@ -1,0 +1,150 @@
+"""PCA-based normals and geometric features, batched over query points.
+
+TPU rewrite of the reference's per-point loops
+(descriptors/pca_based_descriptors.py:15-244): one ``radius_search``/``knn``
+call produces fixed-shape masked neighborhoods, and a single batched 3x3
+eigendecomposition (``ops.eigh3``) replaces N calls to ``np.linalg.eigh``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.eigh3 import pca_eigh
+from ..ops.neighbors import knn, radius_search
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
+    nbr = knn(query_points, cloud_points, k)
+    pts = cloud_points[nbr.idx]
+    _, v, _ = pca_eigh(pts, nbr.mask)
+    normals = v[..., :, 0]  # eigenvector of the smallest eigenvalue
+    if pre_computed_normals is not None:
+        flip = jnp.sum(normals * pre_computed_normals, axis=-1) < 0
+        normals = jnp.where(flip[..., None], -normals, normals)
+    return normals
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def _normals_radius(query_points, cloud_points, radius, k_max, pre_computed_normals):
+    nbr = radius_search(query_points, cloud_points, radius, k_max)
+    pts = cloud_points[nbr.idx]
+    _, v, _ = pca_eigh(pts, nbr.mask)
+    normals = v[..., :, 0]
+    if pre_computed_normals is not None:
+        flip = jnp.sum(normals * pre_computed_normals, axis=-1) < 0
+        normals = jnp.where(flip[..., None], -normals, normals)
+    return normals
+
+
+def compute_normals(
+    query_points,
+    cloud_points,
+    *,
+    k: int | None = None,
+    radius: float | None = None,
+    pre_computed_normals=None,
+    k_max: int = 64,
+):
+    """PCA normals (reference ``compute_normals``,
+    pca_based_descriptors.py:29-59): normal = smallest-eigenvalue eigenvector
+    of the neighborhood covariance, optionally sign-aligned to
+    ``pre_computed_normals``."""
+    assert k is not None or radius is not None, "Provide k or radius."
+    q = jnp.asarray(query_points, jnp.float32)
+    c = jnp.asarray(cloud_points, jnp.float32)
+    pre = None if pre_computed_normals is None else jnp.asarray(pre_computed_normals, jnp.float32)
+    if k is not None:
+        return _normals_knn(q, c, k, pre)
+    return _normals_radius(q, c, radius, k_max, pre)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def compute_sphericity(query_points, cloud_points, radius, k_max: int = 64):
+    """λ_min / (λ_max + 1e-6) on radius neighborhoods
+    (reference pca_based_descriptors.py:62-74)."""
+    q = jnp.asarray(query_points, jnp.float32)
+    c = jnp.asarray(cloud_points, jnp.float32)
+    nbr = radius_search(q, c, radius, k_max)
+    w, _, _ = pca_eigh(c[nbr.idx], nbr.mask)
+    return w[..., 0] / (w[..., 2] + 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def local_pca_with_moments(query_points, cloud_points, radius, k_max: int = 64):
+    """Batched local PCA + first/second moments
+    (reference ``compute_local_pca_with_moments``,
+    pca_based_descriptors.py:77-147).
+
+    Deviation: moments project the centered neighborhood onto the eigenvector
+    *columns* (the intended basis); the reference uses ``@ eigenvectors.T``
+    (line 131), an apparent transposition slip.
+    Returns (eigenvalues (Q,3), eigenvectors (Q,3,3), moments (Q,8), sizes (Q,)).
+    """
+    q = jnp.asarray(query_points, jnp.float32)
+    c = jnp.asarray(cloud_points, jnp.float32)
+    nbr = radius_search(q, c, radius, k_max)
+    pts = c[nbr.idx]
+    w, v, bary = pca_eigh(pts, nbr.mask)
+    m = nbr.mask.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+
+    centered = (pts - bary[..., None, :]) * m[..., None]
+    proj = jnp.einsum("qki,qij->qkj", centered, v)  # coords in eigenbasis
+    mean_abs = jnp.abs(jnp.sum(proj, axis=1) / count[:, None])
+    mean_sq = jnp.sum(proj**2, axis=1) / count[:, None]
+    vert = centered[..., 2]
+    vert_mean = jnp.sum(vert, axis=1) / count
+    vert_sq = jnp.sum(vert**2, axis=1) / count
+    moments = jnp.concatenate(
+        [mean_abs, mean_sq, vert_mean[:, None], vert_sq[:, None]], axis=1
+    )
+    return w, v, moments, jnp.sum(nbr.mask, axis=-1)
+
+
+def compute_pca_based_basic_features(query_points, cloud_points, radius, k_max: int = 64):
+    """(verticality, linearity, planarity, sphericity)
+    (reference pca_based_descriptors.py:150-184)."""
+    q = jnp.asarray(query_points, jnp.float32)
+    c = jnp.asarray(cloud_points, jnp.float32)
+    nbr = radius_search(q, c, radius, k_max)
+    w, v, _ = pca_eigh(c[nbr.idx], nbr.mask)
+    lbd3, lbd2, lbd1 = w[..., 0], w[..., 1], w[..., 2] + 1e-6
+    normals = v[..., :, 0]
+    verticality = 2.0 * jnp.arcsin(jnp.clip(jnp.abs(normals[..., 2]), 0, 1)) / jnp.pi
+    linearity = 1.0 - lbd2 / lbd1
+    planarity = (lbd2 - lbd3) / lbd1
+    sphericity = lbd3 / lbd1
+    return verticality, linearity, planarity, sphericity
+
+
+def compute_pca_based_features(query_points, cloud_points, radius, k_max: int = 64):
+    """Full 21-column eigen-feature stack
+    (reference ``compute_pca_based_features``, pca_based_descriptors.py:187-244)."""
+    w, v, moments, sizes = local_pca_with_moments(query_points, cloud_points, radius, k_max)
+    lbd3, lbd2, lbd1 = w[..., 0], w[..., 1], w[..., 2] + 1e-6
+    normals = v[..., :, 0]
+    principal_axis = v[..., :, 2]
+
+    eigensum = jnp.sum(w, axis=-1)
+    eigen_square_sum = jnp.sum(w**2, axis=-1)
+    omnivariance = jnp.cbrt(jnp.prod(w, axis=-1))
+    eigenentropy = jnp.sum(-w * jnp.log(w + 1e-6), axis=-1)
+    linearity = 1.0 - lbd2 / lbd1
+    planarity = (lbd2 - lbd3) / lbd1
+    sphericity = lbd3 / lbd1
+    curvature_change = lbd3 / jnp.maximum(eigensum, 1e-12)
+    arcsin = lambda x: 2.0 * jnp.arcsin(jnp.clip(jnp.abs(x), 0, 1)) / jnp.pi  # noqa: E731
+    cols = [
+        eigensum, eigen_square_sum, omnivariance, eigenentropy,
+        linearity, planarity, sphericity, curvature_change,
+        arcsin(normals[..., 2]), arcsin(principal_axis[..., 2]),
+        arcsin(normals[..., 0]), arcsin(normals[..., 1]),
+    ]
+    return jnp.concatenate(
+        [jnp.stack(cols, axis=1), moments, sizes[:, None].astype(jnp.float32)], axis=1
+    )

@@ -1,0 +1,343 @@
+"""SHOT descriptors (Signature of Histograms of OrienTations), TPU formulation.
+
+Parity target: the reference implementation of Salti/Tombari/Di Stefano's SHOT
+(descriptors/shot.py, descriptors/shot_parallelization.py).  The reference
+computes one keypoint per task in a ``multiprocessing.Pool``; here the whole
+keypoint set is a single batched program: fixed-k masked neighborhoods, one
+batched weighted-covariance eigendecomposition for the local reference frames,
+and a vectorized quadrilinear soft-binning accumulated with
+``ops.histogram.batched_histogram``.
+
+Binning layout matches the reference exactly: 11 cosine x 8 azimuth x
+2 elevation x 2 radial = 352 bins, with the same azimuth-octant convention
+(shot.py:51-70), radial husks centered at r/4 and 3r/4 (shot.py:73-118),
+elevation volumes centered at pi/4 and 3pi/4 (shot.py:121-171), cosine-bin
+rounding via round-half-even, and wrap-around azimuth interpolation.
+
+Documented deviation: the reference's fancy-index ``+=`` drops colliding
+contributions within each statement (NumPy semantics); we accumulate all
+contributions (``np.add.at`` semantics), which is the intended algorithm from
+the SHOT paper.  Empty/sparse neighborhoods (≤ ``min_neighborhood_size``)
+produce all-zero descriptors — the validity convention consumed by matching.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.subsampling import grid_subsample
+from ..ops.eigh3 import eigh3x3
+from ..ops.histogram import batched_histogram
+from ..ops.neighbors import Neighborhoods, radius_search
+
+N_COSINE_BINS = 11
+N_AZIMUTH_BINS = 8
+N_ELEVATION_BINS = 2
+N_RADIAL_BINS = 2
+SHOT_DIM = N_COSINE_BINS * N_AZIMUTH_BINS * N_ELEVATION_BINS * N_RADIAL_BINS  # 352
+
+
+def azimuth_bin_index(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """8-way azimuth octant of (x, y), clockwise, first bin between pi and
+    3pi/4 — bit-for-bit the reference convention (shot.py:51-70)."""
+    a = (y > 0) | ((y == 0) & (x < 0))
+    half = (x > 0) | ((x == 0) & (y > 0))
+    corner = jnp.where(
+        (x * y > 0) | (x == 0), jnp.abs(x) < jnp.abs(y), jnp.abs(x) > jnp.abs(y)
+    )
+    return (
+        4 * a.astype(jnp.int32)
+        + 2 * jnp.logical_xor(half, a).astype(jnp.int32)
+        + corner.astype(jnp.int32)
+    )
+
+
+def interpolate_husks(distance: jnp.ndarray, radius) -> tuple:
+    """Radial soft-binning between the two husks centered at r/4 and 3r/4
+    (reference shot.py:73-118).  Returns (outer, inner, current) weights."""
+    r = radius
+    half = r / 2.0
+    inner = ((distance > half) & (distance < r * 0.75)) * (r * 0.75 - distance) / half
+    outer = ((distance < half) & (distance > r * 0.25)) * (distance - r * 0.25) / half
+    current = (distance < half) * (1.0 - jnp.abs(distance - r * 0.25) / half) + (
+        distance > half
+    ) * (1.0 - jnp.abs(distance - r * 0.75) / half)
+    return outer, inner, current
+
+
+def interpolate_vertical(phi: jnp.ndarray, z: jnp.ndarray) -> tuple:
+    """Elevation soft-binning between volumes centered at pi/4 and 3pi/4
+    (reference shot.py:121-171).  Returns (upper, lower, current) weights."""
+    half_pi = jnp.pi / 2.0
+    at_edge = jnp.abs(phi - half_pi) < 1e-10
+    upper = (
+        (((phi > half_pi) | (at_edge & (z <= 0))) & (phi <= jnp.pi * 0.75))
+        * (jnp.pi * 0.75 - phi)
+        / half_pi
+    )
+    lower = (
+        (((phi < half_pi) & (~at_edge | (z > 0))) & (phi >= jnp.pi * 0.25))
+        * (phi - jnp.pi * 0.25)
+        / half_pi
+    )
+    current = (phi < half_pi) * (1.0 - jnp.abs(phi - jnp.pi * 0.25) / half_pi) + (
+        phi >= half_pi
+    ) * (1.0 - jnp.abs(phi - jnp.pi * 0.75) / half_pi)
+    return upper, lower, current
+
+
+@jax.jit
+def local_reference_frames(
+    keypoints: jnp.ndarray,
+    neighbor_points: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius,
+) -> jnp.ndarray:
+    """Batched SHOT local reference frames (reference ``get_local_rf``,
+    shot.py:16-48): eigenvectors of the (radius − d)-weighted covariance of the
+    centered neighborhood, x/z sign-disambiguated by majority vote of neighbor
+    projections, y = z x x; columns ordered [x, y, z] (descending eigenvalue).
+    Empty neighborhoods yield the identity frame.
+    """
+    centered = neighbor_points - keypoints[:, None, :]
+    m = mask.astype(jnp.float32)
+    dist = jnp.linalg.norm(jnp.where(mask[..., None], centered, 0.0), axis=-1)
+    w = jnp.maximum(radius - dist, 0.0) * m
+    wsum = jnp.sum(w, axis=-1)
+    cov = jnp.einsum("qki,qkj->qij", centered * w[..., None], centered) / jnp.maximum(
+        wsum, 1e-12
+    )[:, None, None]
+    _, v = eigh3x3(cov)  # ascending eigenvalues
+
+    x_axis = v[..., :, 2]
+    z_axis = v[..., :, 0]
+    proj_x = jnp.einsum("qki,qi->qk", centered, x_axis)
+    neg = jnp.sum((proj_x < 0) & mask, axis=-1)
+    nonneg = jnp.sum((proj_x >= 0) & mask, axis=-1)
+    x_axis = jnp.where((neg > nonneg)[:, None], -x_axis, x_axis)
+    proj_z = jnp.einsum("qki,qi->qk", centered, z_axis)
+    neg = jnp.sum((proj_z < 0) & mask, axis=-1)
+    nonneg = jnp.sum((proj_z >= 0) & mask, axis=-1)
+    z_axis = jnp.where((neg > nonneg)[:, None], -z_axis, z_axis)
+    y_axis = jnp.cross(z_axis, x_axis)
+
+    rf = jnp.stack([x_axis, y_axis, z_axis], axis=-1)  # columns [x, y, z]
+    empty = jnp.sum(mask, axis=-1) == 0
+    return jnp.where(empty[:, None, None], jnp.eye(3, dtype=rf.dtype), rf)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "min_neighborhood_size"))
+def shot_from_neighborhoods(
+    keypoints: jnp.ndarray,
+    neighbor_points: jnp.ndarray,
+    neighbor_normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    local_rfs: jnp.ndarray,
+    radius,
+    normalize: bool = True,
+    min_neighborhood_size: int = 100,
+) -> jnp.ndarray:
+    """The 352-bin quadrilinear accumulation given gathered neighborhoods.
+
+    Mirrors ``compute_single_shot_descriptor`` (shot.py:175-306) with true
+    accumulation semantics; all four interpolations (cosine, radial husk,
+    elevation volume, azimuth wrap-around) are applied per neighbor, masked by
+    validity, and scatter-added into per-keypoint histograms in one call.
+    """
+    q, k = mask.shape
+    centered = neighbor_points - keypoints[:, None, :]
+    rho = jnp.linalg.norm(jnp.where(mask[..., None], centered, 0.0), axis=-1)
+    valid = mask & (rho > 0)
+    rho_safe = jnp.where(valid, rho, 1.0)
+
+    local = jnp.einsum("qki,qij->qkj", centered, local_rfs)
+    lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
+    cosine = jnp.clip(
+        jnp.einsum("qki,qi->qk", neighbor_normals, local_rfs[..., :, 2]), -1.0, 1.0
+    )
+
+    theta = jnp.arctan2(ly, lx)
+    phi = jnp.arccos(jnp.clip(lz / rho_safe, -1.0, 1.0))
+
+    cos_bin_pos = (cosine + 1.0) * N_COSINE_BINS / 2.0 - 0.5
+    cos_bin = jnp.rint(cos_bin_pos).astype(jnp.int32)  # round-half-even, in [0, 10]
+    az_bin = azimuth_bin_index(lx, ly)
+    elev_bin = (lz > 0).astype(jnp.int32)
+    rad_bin = (rho > radius / 2.0).astype(jnp.int32)
+
+    # cosine interpolation
+    delta_cos = cos_bin_pos - cos_bin
+    sign_cos = jnp.sign(delta_cos).astype(jnp.int32)
+    abs_cos = jnp.abs(delta_cos)
+    cos_nb = (cos_bin + sign_cos) % N_COSINE_BINS
+
+    # radial husks
+    outer, inner, husk_cur = interpolate_husks(rho, radius)
+    # elevation volumes
+    upper, lower, vert_cur = interpolate_vertical(phi, lz)
+    # azimuth wrap-around
+    az_size = 2.0 * jnp.pi / N_AZIMUTH_BINS
+    delta_az = jnp.clip(
+        (theta - (-jnp.pi + az_bin * az_size)) / az_size - 0.5, -0.5, 0.5
+    )
+    sign_az = jnp.sign(delta_az).astype(jnp.int32)
+    abs_az = jnp.abs(delta_az)
+    az_nb = (az_bin + sign_az) % N_AZIMUTH_BINS
+
+    def flat(c, a, e, r):
+        return ((c * N_AZIMUTH_BINS + a) * N_ELEVATION_BINS + e) * N_RADIAL_BINS + r
+
+    zeros = jnp.zeros_like(rad_bin)
+    ones = jnp.ones_like(rad_bin)
+    contributions = [
+        (flat(cos_nb, az_bin, elev_bin, rad_bin), abs_cos),
+        (flat(cos_bin, az_bin, elev_bin, rad_bin), 1.0 - abs_cos),
+        (flat(cos_bin, az_bin, elev_bin, ones), outer * (rad_bin == 0)),
+        (flat(cos_bin, az_bin, elev_bin, zeros), inner * (rad_bin == 1)),
+        (flat(cos_bin, az_bin, elev_bin, rad_bin), husk_cur),
+        (flat(cos_bin, az_bin, ones, rad_bin), upper * (elev_bin == 0)),
+        (flat(cos_bin, az_bin, zeros, rad_bin), lower * (elev_bin == 1)),
+        (flat(cos_bin, az_bin, elev_bin, rad_bin), vert_cur),
+        (flat(cos_bin, az_nb, elev_bin, rad_bin), abs_az),
+        (flat(cos_bin, az_bin, elev_bin, rad_bin), 1.0 - abs_az),
+    ]
+    idx = jnp.concatenate([c[0] for c in contributions], axis=1)  # (Q, 10K)
+    wgt = jnp.concatenate(
+        [jnp.where(valid, c[1].astype(jnp.float32), 0.0) for c in contributions], axis=1
+    )
+    desc = batched_histogram(idx, wgt, SHOT_DIM)
+
+    count = jnp.sum(valid, axis=-1)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    keep = (count > min_neighborhood_size)[:, None] & (norm > 0)
+    if normalize:
+        desc = desc / jnp.where(norm > 0, norm, 1.0)
+    return jnp.where(keep, desc, 0.0)
+
+
+def compute_shot_descriptor(
+    keypoints,
+    support_points,
+    support_normals,
+    radius,
+    *,
+    k_max: int = 512,
+    normalize: bool = True,
+    min_neighborhood_size: int = 100,
+    local_rfs=None,
+    local_rf_neighborhoods: Neighborhoods | None = None,
+):
+    """Single-scale SHOT on a support cloud.  Returns ((Q, 352) descriptors,
+    local RFs) so multiscale drivers can share frames across scales."""
+    kp = jnp.asarray(keypoints, jnp.float32)
+    sup = jnp.asarray(support_points, jnp.float32)
+    nrm = jnp.asarray(support_normals, jnp.float32)
+    nbr = radius_search(kp, sup, radius, k_max)
+    if local_rfs is None:
+        rf_nbr = nbr if local_rf_neighborhoods is None else local_rf_neighborhoods
+        local_rfs = local_reference_frames(kp, sup[rf_nbr.idx], rf_nbr.mask, radius)
+    desc = shot_from_neighborhoods(
+        kp,
+        sup[nbr.idx],
+        nrm[nbr.idx],
+        nbr.mask,
+        local_rfs,
+        radius,
+        normalize=normalize,
+        min_neighborhood_size=min_neighborhood_size,
+    )
+    return desc, local_rfs
+
+
+class ShotComputer:
+    """Single/bi/multi-scale SHOT drivers — the TPU replacement for the
+    reference's ``ShotMultiprocessor`` (shot_parallelization.py:16-312).
+
+    Where the reference fans keypoints out over a process pool, every scale
+    here is one batched device program; "parallelism" is the keypoint batch
+    axis, which also shards over a TPU mesh (see ``parallel.sharded``).
+    """
+
+    def __init__(
+        self,
+        normalize: bool = True,
+        share_local_rfs: bool = True,
+        min_neighborhood_size: int = 100,
+        k_max: int = 512,
+        verbose: bool = True,
+    ):
+        self.normalize = normalize
+        self.share_local_rfs = share_local_rfs
+        self.min_neighborhood_size = min_neighborhood_size
+        self.k_max = k_max
+        self.verbose = verbose
+
+    def _support(self, point_cloud, normals, voxel_size):
+        if voxel_size is None:
+            return point_cloud, normals
+        sel = grid_subsample(point_cloud, voxel_size)
+        return np.asarray(point_cloud)[sel], np.asarray(normals)[sel]
+
+    def compute_descriptor_single_scale(
+        self, point_cloud, normals, keypoints, radius, subsampling_voxel_size=None
+    ):
+        sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
+        desc, _ = compute_shot_descriptor(
+            keypoints, sup, nrm, radius,
+            k_max=self.k_max, normalize=self.normalize,
+            min_neighborhood_size=self.min_neighborhood_size,
+        )
+        return desc
+
+    def compute_descriptor_bi_scale(
+        self,
+        point_cloud,
+        normals,
+        keypoints,
+        local_rf_radius,
+        shot_radius,
+        subsampling_voxel_size=None,
+    ):
+        """Local RFs from ``local_rf_radius`` neighborhoods, descriptor from
+        ``shot_radius`` neighborhoods (reference
+        shot_parallelization.py:185-239 — including its guard-less second
+        query, fixed here to respect ``subsampling_voxel_size=None``)."""
+        sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
+        kp = jnp.asarray(keypoints, jnp.float32)
+        supj = jnp.asarray(sup, jnp.float32)
+        rf_nbr = radius_search(kp, supj, local_rf_radius, self.k_max)
+        rfs = local_reference_frames(kp, supj[rf_nbr.idx], rf_nbr.mask, local_rf_radius)
+        desc, _ = compute_shot_descriptor(
+            kp, supj, jnp.asarray(nrm, jnp.float32), shot_radius,
+            k_max=self.k_max, normalize=self.normalize,
+            min_neighborhood_size=self.min_neighborhood_size, local_rfs=rfs,
+        )
+        return desc
+
+    def compute_descriptor_multiscale(
+        self, point_cloud, normals, keypoints, radii, voxel_sizes=None, weights=None
+    ):
+        """Concatenated per-scale descriptors (Q, 352·n_scales); optionally the
+        first (smallest-radius) scale's local RFs are shared across scales
+        (reference shot_parallelization.py:241-312)."""
+        if weights is None:
+            weights = [1.0] * len(radii)
+        descs = []
+        shared_rfs = None
+        for scale, radius in enumerate(radii):
+            voxel = None if voxel_sizes is None else voxel_sizes[scale]
+            sup, nrm = self._support(point_cloud, normals, voxel)
+            desc, rfs = compute_shot_descriptor(
+                keypoints, sup, nrm, radius,
+                k_max=self.k_max, normalize=self.normalize,
+                min_neighborhood_size=self.min_neighborhood_size,
+                local_rfs=shared_rfs,
+            )
+            if self.share_local_rfs and shared_rfs is None:
+                shared_rfs = rfs
+            descs.append(desc * weights[scale])
+        return jnp.concatenate(descs, axis=1)

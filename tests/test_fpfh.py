@@ -1,0 +1,99 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.models import compute_fpfh_descriptor, compute_spfh
+
+
+def numpy_spfh(cloud, normals, radius, n_bins):
+    """Independent oracle: SPFH per Rusu et al. with histogramdd range
+    semantics (out-of-range dropped, self excluded from angles but counted)."""
+    n = len(cloud)
+    spfh = np.zeros((n, n_bins, n_bins, n_bins))
+    d_all = np.linalg.norm(cloud[:, None] - cloud[None], axis=-1)
+    for i in range(n):
+        members = np.nonzero(d_all[i] <= radius)[0]
+        size = len(members)
+        nz = members[d_all[i, members] > 0]
+        if size == 0:
+            continue
+        diff = cloud[nz] - cloud[i]
+        u = normals[i]
+        v = np.cross(diff, np.broadcast_to(u, diff.shape))
+        w = np.cross(np.broadcast_to(u, v.shape), v)
+        alpha = np.sum(v * normals[nz], axis=1)
+        phi = diff @ u / d_all[i, nz]
+        theta = np.arctan2(np.sum(normals[nz] * w, axis=1), normals[nz] @ u)
+        h, _ = np.histogramdd(
+            np.stack([alpha, phi, theta], axis=1),
+            bins=n_bins,
+            range=[(-1, 1), (-1, 1), (-np.pi / 2, np.pi / 2)],
+        )
+        spfh[i] = h / size
+    return spfh.reshape(n, -1)
+
+
+def numpy_fpfh(cloud, normals, radius, n_bins, kp_idx):
+    spfh = numpy_spfh(cloud, normals, radius, n_bins)
+    d_all = np.linalg.norm(cloud[:, None] - cloud[None], axis=-1)
+    out = np.zeros((len(kp_idx), n_bins**3))
+    for row, i in enumerate(kp_idx):
+        members = np.nonzero(d_all[i] <= radius)[0]
+        nz = members[d_all[i, members] > 0]
+        acc = (spfh[nz] / d_all[i, nz][:, None]).sum(axis=0)
+        out[row] = spfh[i] + acc / len(members)
+    return out
+
+
+def make_test_cloud(rng, n=120):
+    pts = rng.normal(size=(n, 3))
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    return pts.astype(np.float32), normals.astype(np.float32)
+
+
+def test_spfh_matches_oracle(rng):
+    pts, normals = make_test_cloud(rng)
+    radius, n_bins = 1.2, 4
+    ours, _ = compute_spfh(pts, normals, radius, n_bins, k_max=128)
+    oracle = numpy_spfh(pts, normals, radius, n_bins)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=2e-3)
+
+
+def test_fpfh_matches_oracle(rng):
+    pts, normals = make_test_cloud(rng)
+    radius, n_bins = 1.2, 4
+    kp = np.arange(0, 120, 7, dtype=np.int32)
+    ours = np.asarray(compute_fpfh_descriptor(kp, pts, normals, radius, n_bins, k_max=128))
+    oracle = numpy_fpfh(pts, normals, radius, n_bins, kp)
+    np.testing.assert_allclose(ours, oracle, atol=5e-3)
+
+
+def test_fpfh_decorrelated_shape(rng):
+    pts, normals = make_test_cloud(rng)
+    kp = np.arange(10, dtype=np.int32)
+    d = compute_fpfh_descriptor(kp, pts, normals, 1.0, 5, decorrelated=True, k_max=128)
+    assert d.shape == (10, 15)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_fpfh_rotation_invariance(rng):
+    """FPFH is built on Darboux angles — invariant under rigid motion."""
+    from shot_fpfh_tpu.core import quaternion_to_matrix
+
+    pts, normals = make_test_cloud(rng)
+    kp = np.arange(0, 120, 11, dtype=np.int32)
+    d1 = np.asarray(compute_fpfh_descriptor(kp, pts, normals, 1.2, 4, k_max=128))
+
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    rot = np.asarray(quaternion_to_matrix(jnp.asarray(q, jnp.float32)))
+    t = rng.normal(size=3).astype(np.float32)
+    d2 = np.asarray(
+        compute_fpfh_descriptor(
+            kp, (pts @ rot.T + t).astype(np.float32), (normals @ rot.T).astype(np.float32),
+            1.2, 4, k_max=128,
+        )
+    )
+    # histogram bin edges make this nearly-but-not-exactly invariant
+    diff = np.linalg.norm(d1 - d2, axis=1) / np.maximum(np.linalg.norm(d1, axis=1), 1e-9)
+    assert np.median(diff) < 0.2

@@ -1,0 +1,76 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.models import (
+    compute_normals,
+    compute_pca_based_basic_features,
+    compute_pca_based_features,
+    compute_sphericity,
+)
+
+
+def numpy_normals_knn(queries, cloud, k):
+    out = np.zeros((len(queries), 3))
+    for i, q in enumerate(queries):
+        d = np.linalg.norm(cloud - q, axis=1)
+        nb = cloud[np.argsort(d)[:k]]
+        c = nb - nb.mean(axis=0)
+        cov = c.T @ c / len(nb)
+        _, vec = np.linalg.eigh(cov)
+        out[i] = vec[:, 0]
+    return out
+
+
+def test_normals_match_numpy_oracle(rng, surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    q = pts[:80]
+    ours = np.asarray(compute_normals(q, pts, k=20))
+    oracle = numpy_normals_knn(q, pts, 20)
+    # normals defined up to sign
+    dots = np.abs(np.sum(ours * oracle, axis=1))
+    assert (dots > 0.99).mean() > 0.95
+
+
+def test_normals_unit_length(surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    n = np.asarray(compute_normals(pts[:50], pts, k=15))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+
+
+def test_normals_reorientation(surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    pre = np.tile([0.0, 0.0, 1.0], (60, 1)).astype(np.float32)
+    n = np.asarray(compute_normals(pts[:60], pts, k=20, pre_computed_normals=pre))
+    assert (n[:, 2] >= 0).all()
+
+
+def test_normals_radius_mode(surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    n = np.asarray(compute_normals(pts[:40], pts, radius=0.3, k_max=128))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+
+
+def test_sphericity_flat_vs_blob(rng):
+    flat = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    flat[:, 2] *= 0.001
+    blob = rng.normal(size=(300, 3)).astype(np.float32)
+    s_flat = np.asarray(compute_sphericity(flat[:20], flat, 1.0, k_max=256))
+    s_blob = np.asarray(compute_sphericity(blob[:20], blob, 2.0, k_max=256))
+    assert s_flat.mean() < 0.01
+    assert s_blob.mean() > 0.1
+
+
+def test_basic_features_shapes_and_ranges(surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    vert, lin, plan, sph = compute_pca_based_basic_features(pts[:30], pts, 0.4, k_max=128)
+    for f in (vert, lin, plan, sph):
+        assert f.shape == (30,)
+        v = np.asarray(f)
+        assert (v >= -1e-4).all() and (v <= 1.0 + 1e-4).all()
+
+
+def test_full_features_shape(surface_cloud):
+    pts = surface_cloud.astype(np.float32)
+    feats = np.asarray(compute_pca_based_features(pts[:25], pts, 0.4, k_max=128))
+    assert feats.shape == (25, 21)
+    assert np.isfinite(feats).all()

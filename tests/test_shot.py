@@ -1,0 +1,207 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.models import compute_shot_descriptor, local_reference_frames
+from shot_fpfh_tpu.models.shot import shot_from_neighborhoods
+from shot_fpfh_tpu.ops import radius_search
+
+
+# ---------------------------------------------------------------- oracle ----
+def oracle_azimuth(x, y):
+    a = (y > 0) | ((y == 0) & (x < 0))
+    half = (x > 0) | ((x == 0) & (y > 0))
+    corner = np.where((x * y > 0) | (x == 0), np.abs(x) < np.abs(y), np.abs(x) > np.abs(y))
+    return 4 * a.astype(int) + 2 * np.logical_xor(half, a).astype(int) + corner.astype(int)
+
+
+def oracle_local_rf(point, neighbors, radius):
+    if len(neighbors) == 0:
+        return np.eye(3)
+    centered = neighbors - point
+    d = np.linalg.norm(centered, axis=1)
+    w = radius - d
+    cov = (centered * w[:, None]).T @ centered / w.sum()
+    _, vec = np.linalg.eigh(cov)
+    x, z = vec[:, 2].copy(), vec[:, 0].copy()
+    if ((centered @ x) < 0).sum() > ((centered @ x) >= 0).sum():
+        x = -x
+    if ((centered @ z) < 0).sum() > ((centered @ z) >= 0).sum():
+        z = -z
+    return np.stack([x, np.cross(z, x), z], axis=1)
+
+
+def oracle_shot(point, neighbors, nb_normals, radius, rf, min_size, normalize=True):
+    """Accumulating (np.add.at) SHOT with the reference's bin conventions."""
+    desc = np.zeros((11, 8, 2, 2))
+    rho_all = np.linalg.norm(neighbors - point, axis=1)
+    keep = rho_all > 0
+    if keep.sum() <= min_size:
+        return np.zeros(352)
+    nb, nn, rho = neighbors[keep], nb_normals[keep], rho_all[keep]
+    local = (nb - point) @ rf
+    cosine = np.clip(nn @ rf[:, 2], -1, 1)
+    theta = np.arctan2(local[:, 1], local[:, 0])
+    phi = np.arccos(np.clip(local[:, 2] / rho, -1, 1))
+
+    cos_pos = (cosine + 1.0) * 11 / 2.0 - 0.5
+    cos_idx = np.rint(cos_pos).astype(int)
+    az = oracle_azimuth(local[:, 0], local[:, 1])
+    elev = (local[:, 2] > 0).astype(int)
+    rad = (rho > radius / 2).astype(int)
+
+    delta = cos_pos - cos_idx
+    s = np.sign(delta)
+    ad = np.abs(delta)
+    np.add.at(desc, ((cos_idx + s).astype(int) % 11, az, elev, rad), ad)
+    np.add.at(desc, (cos_idx, az, elev, rad), 1 - ad)
+
+    half = radius / 2
+    inner = ((rho > half) & (rho < 0.75 * radius)) * (0.75 * radius - rho) / half
+    outer = ((rho < half) & (rho > 0.25 * radius)) * (rho - 0.25 * radius) / half
+    cur = (rho < half) * (1 - np.abs(rho - 0.25 * radius) / half) + (rho > half) * (
+        1 - np.abs(rho - 0.75 * radius) / half
+    )
+    np.add.at(desc, (cos_idx, az, elev, np.ones_like(rad)), outer * (rad == 0))
+    np.add.at(desc, (cos_idx, az, elev, np.zeros_like(rad)), inner * (rad == 1))
+    np.add.at(desc, (cos_idx, az, elev, rad), cur)
+
+    hp = np.pi / 2
+    edge = np.abs(phi - hp) < 1e-10
+    upper = (((phi > hp) | (edge & (local[:, 2] <= 0))) & (phi <= 0.75 * np.pi)) * (
+        0.75 * np.pi - phi
+    ) / hp
+    lower = (((phi < hp) & (~edge | (local[:, 2] > 0))) & (phi >= 0.25 * np.pi)) * (
+        phi - 0.25 * np.pi
+    ) / hp
+    vcur = (phi < hp) * (1 - np.abs(phi - 0.25 * np.pi) / hp) + (phi >= hp) * (
+        1 - np.abs(phi - 0.75 * np.pi) / hp
+    )
+    np.add.at(desc, (cos_idx, az, np.ones_like(elev), rad), upper * (elev == 0))
+    np.add.at(desc, (cos_idx, az, np.zeros_like(elev), rad), lower * (elev == 1))
+    np.add.at(desc, (cos_idx, az, elev, rad), vcur)
+
+    az_size = 2 * np.pi / 8
+    d_az = np.clip((theta - (-np.pi + az * az_size)) / az_size - 0.5, -0.5, 0.5)
+    s_az = np.sign(d_az)
+    a_az = np.abs(d_az)
+    np.add.at(desc, (cos_idx, (az + s_az).astype(int) % 8, elev, rad), a_az)
+    np.add.at(desc, (cos_idx, az, elev, rad), 1 - a_az)
+
+    flat = desc.ravel()
+    n = np.linalg.norm(flat)
+    if n == 0:
+        return np.zeros(352)
+    return flat / n if normalize else flat
+
+
+def make_cloud(rng, n=200):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    return pts, normals.astype(np.float32)
+
+
+# ----------------------------------------------------------------- tests ----
+def test_local_rf_matches_oracle(rng):
+    pts, _ = make_cloud(rng)
+    radius = 1.5
+    kp = pts[:20]
+    nbr = radius_search(jnp.asarray(kp), jnp.asarray(pts), radius, 128)
+    rfs = np.asarray(local_reference_frames(jnp.asarray(kp), jnp.asarray(pts)[nbr.idx], nbr.mask, radius))
+    for i in range(20):
+        members = np.nonzero(np.linalg.norm(pts - kp[i], axis=1) <= radius)[0]
+        expected = oracle_local_rf(kp[i], pts[members], radius)
+        # frames match up to eigenvector sign conventions resolved by the votes
+        np.testing.assert_allclose(np.abs(rfs[i]), np.abs(expected), atol=5e-3)
+        # signs must agree when the disambiguation votes are decisive;
+        # near-tied votes may flip between f32 and the f64 oracle
+        centered = pts[members] - kp[i]
+        decisive = True
+        for axis in (expected[:, 0], expected[:, 2]):
+            proj = centered @ axis
+            if abs((proj < 0).sum() - (proj >= 0).sum()) <= 2:
+                decisive = False
+        if decisive:
+            np.testing.assert_allclose(rfs[i], expected, atol=5e-3)
+
+
+def test_local_rf_is_rotation(rng):
+    pts, _ = make_cloud(rng)
+    kp = pts[:10]
+    nbr = radius_search(jnp.asarray(kp), jnp.asarray(pts), 1.5, 128)
+    rfs = np.asarray(local_reference_frames(jnp.asarray(kp), jnp.asarray(pts)[nbr.idx], nbr.mask, 1.5))
+    for rf in rfs:
+        np.testing.assert_allclose(rf.T @ rf, np.eye(3), atol=1e-4)
+        assert np.linalg.det(rf) > 0.99
+
+
+def test_shot_matches_oracle(rng):
+    pts, normals = make_cloud(rng)
+    radius = 1.5
+    kp = pts[:16]
+    desc, rfs = compute_shot_descriptor(
+        kp, pts, normals, radius, k_max=160, min_neighborhood_size=5
+    )
+    desc = np.asarray(desc)
+    rfs = np.asarray(rfs)
+    for i in range(16):
+        members = np.nonzero(np.linalg.norm(pts - kp[i], axis=1) <= radius)[0]
+        expected = oracle_shot(kp[i], pts[members], normals[members], radius, rfs[i], 5)
+        np.testing.assert_allclose(desc[i], expected, atol=2e-3)
+
+
+def test_shot_sparse_neighborhood_gives_zero(rng):
+    pts, normals = make_cloud(rng)
+    far = np.array([[100.0, 100.0, 100.0]], np.float32)
+    desc, _ = compute_shot_descriptor(far, pts, normals, 1.0, k_max=64, min_neighborhood_size=5)
+    assert np.abs(np.asarray(desc)).sum() == 0
+
+
+def test_shot_normalized(rng):
+    pts, normals = make_cloud(rng)
+    desc, _ = compute_shot_descriptor(pts[:8], pts, normals, 2.0, k_max=256, min_neighborhood_size=5)
+    norms = np.linalg.norm(np.asarray(desc), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_shot_rotation_invariance(rng):
+    from shot_fpfh_tpu.core import quaternion_to_matrix
+
+    pts, normals = make_cloud(rng, n=300)
+    kp = pts[:12]
+    d1 = np.asarray(
+        compute_shot_descriptor(kp, pts, normals, 1.5, k_max=256, min_neighborhood_size=5)[0]
+    )
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    rot = np.asarray(quaternion_to_matrix(jnp.asarray(q, jnp.float32)))
+    t = np.array([3.0, -2.0, 1.0], np.float32)
+    d2 = np.asarray(
+        compute_shot_descriptor(
+            (kp @ rot.T + t).astype(np.float32),
+            (pts @ rot.T + t).astype(np.float32),
+            (normals @ rot.T).astype(np.float32),
+            1.5, k_max=256, min_neighborhood_size=5,
+        )[0]
+    )
+    err = np.linalg.norm(d1 - d2, axis=1)
+    assert np.median(err) < 0.05
+
+
+def test_shot_multiscale_driver(rng):
+    from shot_fpfh_tpu.models import ShotComputer
+
+    pts, normals = make_cloud(rng)
+    comp = ShotComputer(min_neighborhood_size=5, k_max=128)
+    d = comp.compute_descriptor_multiscale(pts, normals, pts[:6], radii=[1.0, 2.0])
+    assert d.shape == (6, 704)
+
+
+def test_shot_bi_scale_driver(rng):
+    from shot_fpfh_tpu.models import ShotComputer
+
+    pts, normals = make_cloud(rng)
+    comp = ShotComputer(min_neighborhood_size=5, k_max=128)
+    d = comp.compute_descriptor_bi_scale(pts, normals, pts[:6], 1.0, 2.0)
+    assert d.shape == (6, 352)
+    assert np.isfinite(np.asarray(d)).all()
