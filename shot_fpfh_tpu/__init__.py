@@ -24,6 +24,20 @@ from .core import (  # noqa: E402
 )
 from .ops import knn, nearest_neighbor, radius_count, radius_search  # noqa: E402
 
+
+def __getattr__(name):
+    # heavier layers are imported lazily to keep `import shot_fpfh_tpu` light
+    if name == "RegistrationPipeline":
+        from .pipeline import RegistrationPipeline
+
+        return RegistrationPipeline
+    if name == "load_config_from_yaml":
+        from .configuration import load_config_from_yaml
+
+        return load_config_from_yaml
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -1,0 +1,64 @@
+"""Ground-truth-driven match analysis (reference analysis/matches_analysis.py).
+
+Plot-producing helpers return the histogram *data*; rendering is optional and
+headless-gated so the pipeline runs on display-less TPU hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.transform import RigidTransform
+from .ops.neighbors import nearest_neighbor
+from .registration.matching import top2_descriptor
+
+
+def get_incorrect_matches(scan, ref, exact_transformation: RigidTransform) -> np.ndarray:
+    """Match wrong iff the exactly-transformed scan point is > 1e-2 from its
+    matched ref point (reference matches_analysis.py:14-32)."""
+    moved = np.asarray(exact_transformation.apply(jnp.asarray(scan, jnp.float32)))
+    return np.linalg.norm(moved - np.asarray(ref), axis=1) > 1e-2
+
+
+def lowe_ratio_split(
+    scan, ref, exact_transformation: RigidTransform, scan_descriptors, ref_descriptors
+):
+    """Ratio (d1/d2) histogram data split by correct/incorrect matches — the
+    data behind the reference's ``plot_distance_hists``
+    (matches_analysis.py:35-88).  Returns (correct_ratios, incorrect_ratios)."""
+    moved = exact_transformation.apply(jnp.asarray(scan, jnp.float32))
+    dist_points, indices_points = nearest_neighbor(moved, jnp.asarray(ref, jnp.float32))
+
+    idx1, d1, d2 = top2_descriptor(
+        jnp.asarray(scan_descriptors, jnp.float32),
+        jnp.asarray(ref_descriptors, jnp.float32),
+        jnp.ones(len(ref_descriptors), bool),
+    )
+    idx1, d1, d2 = np.asarray(idx1), np.asarray(d1), np.asarray(d2)
+    correct = (idx1 == np.asarray(indices_points)) & (np.asarray(dist_points) < 1e-2)
+    ratios = np.divide(d1, d2, out=np.ones_like(d1), where=d2 > 0)
+    return ratios[correct], ratios[~correct]
+
+
+def plot_distance_hists(scan, ref, exact_transformation, scan_descriptors, ref_descriptors):
+    """Render the ratio histograms when matplotlib + display are available."""
+    correct, incorrect = lowe_ratio_split(
+        scan, ref, exact_transformation, scan_descriptors, ref_descriptors
+    )
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+    except ImportError:
+        return correct, incorrect
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(16, 8))
+    ax1.hist(correct, bins=50, label="Correct matches")
+    ax2.hist(incorrect, bins=50, label="Incorrect matches")
+    for ax in (ax1, ax2):
+        ax.legend()
+        ax.set(title="Ratio between the nearest neighbor and the second nearest one")
+    fig.savefig("distance_hists.png")
+    plt.close(fig)
+    return correct, incorrect

@@ -1,0 +1,92 @@
+"""Keypoint selection strategies (reference keypoint_selection.py:11-122).
+
+All four reference strategies, rebuilt fixed-shape:
+
+- ``iterative``: greedy coverage — select a point, mark its radius ball
+  visited, repeat.  A bounded ``lax.while_loop`` whose per-step work is one
+  (N,) distance row; no KDTree required.
+- ``subsampling``: voxel-grid representative selection (``core.subsampling``).
+- ``random``: explicit ``jax.random`` keys (the reference mixes a seeded
+  module RNG and the unseeded global NumPy RNG — SURVEY.md §2.4.7).
+- ``subsampling_with_density``: voxel representatives whose voxel population
+  (or radius-ball count when a distinct density radius is given) exceeds a
+  threshold.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.subsampling import grid_subsample, voxel_counts_for_representatives
+from .ops.neighbors import radius_count
+
+
+@jax.jit
+def _iterative_masked(points: jnp.ndarray, radius) -> jnp.ndarray:
+    """Greedy coverage; returns a boolean 'selected' mask of shape (N,)."""
+    n = points.shape[0]
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def cond(state):
+        visited, _ = state
+        return ~jnp.all(visited)
+
+    def body(state):
+        visited, selected = state
+        # first unvisited point (argmax of ~visited finds the first True)
+        i = jnp.argmax(~visited)
+        selected = selected.at[i].set(True)
+        d2 = jnp.sum((points - points[i]) ** 2, axis=-1)
+        return visited | (d2 <= r2), selected
+
+    visited0 = jnp.zeros(n, bool)
+    selected0 = jnp.zeros(n, bool)
+    _, selected = jax.lax.while_loop(cond, body, (visited0, selected0))
+    return selected
+
+
+def select_keypoints_iteratively(points, radius) -> np.ndarray:
+    pts = jnp.asarray(points, jnp.float32)
+    return np.nonzero(np.asarray(_iterative_masked(pts, radius)))[0]
+
+
+def select_keypoints_subsampling(points, voxel_size) -> np.ndarray:
+    return grid_subsample(points, voxel_size)
+
+
+def select_keypoints_randomly(points, n_feature_points: int, key=None) -> np.ndarray:
+    """Random *points* (coordinates), as the reference returns
+    (keypoint_selection.py:47-53)."""
+    if key is None:
+        key = jax.random.key(1)
+    idx = jax.random.choice(key, len(points), shape=(n_feature_points,), replace=False)
+    return np.asarray(points)[np.asarray(idx)]
+
+
+def select_query_indices_randomly(n_points: int, n_feature_points: int, key=None) -> np.ndarray:
+    if key is None:
+        key = jax.random.key(0)
+    idx = jax.random.choice(key, n_points, shape=(n_feature_points,), replace=False)
+    return np.asarray(idx)
+
+
+def select_keypoints_with_density_threshold(
+    points,
+    voxel_size,
+    density_threshold_value: int,
+    density_threshold_radius: float | None = None,
+) -> np.ndarray:
+    """Voxel representatives filtered by local density
+    (reference keypoint_selection.py:65-122)."""
+    pts = jnp.asarray(points, jnp.float32)
+    idx, mask, counts = voxel_counts_for_representatives(pts, voxel_size)
+    idx = np.asarray(idx)[np.asarray(mask)]
+    counts = np.asarray(counts)[np.asarray(mask)]
+    if density_threshold_radius is None or density_threshold_radius == voxel_size:
+        return idx[counts > density_threshold_value]
+    ball = np.asarray(radius_count(pts[idx], pts, density_threshold_radius))
+    return idx[ball > density_threshold_value]

@@ -1,0 +1,347 @@
+"""End-to-end registration pipeline orchestrator.
+
+The host-level counterpart of the reference's ``RegistrationPipeline``
+(pipeline.py:33-608): holds the scan/ref clouds, memoizes per-stage results
+(recompute only on ``force_recompute``), and dispatches each stage to the
+batched TPU kernels.  Stage timings/throughputs are recorded in
+``self.metrics`` (``utils.StageMetrics``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analysis import get_incorrect_matches, lowe_ratio_split
+from .core.transform import RigidTransform, rotation_angle
+from .io.ply import write_ply
+from .keypoints import (
+    select_keypoints_iteratively,
+    select_keypoints_subsampling,
+    select_keypoints_with_density_threshold,
+    select_query_indices_randomly,
+)
+from .models.fpfh import compute_fpfh_descriptor
+from .models.shot import ShotComputer
+from .ops.neighbors import nearest_neighbor
+from .registration.icp import icp_point_to_plane, icp_point_to_point
+from .registration.matching import (
+    basic_matching,
+    lowe_matching,
+    match_descriptors,
+    threshold_filter,
+)
+from .registration.ransac import ransac_on_matches
+from .utils.perf import StageMetrics
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RegistrationPipeline:
+    """Descriptor-based registration between two local maps (scan → ref)."""
+
+    scan: np.ndarray
+    scan_normals: np.ndarray
+    ref: np.ndarray
+    ref_normals: np.ndarray
+
+    scan_keypoints: np.ndarray | None = None
+    ref_keypoints: np.ndarray | None = None
+    scan_descriptors: np.ndarray | None = None
+    ref_descriptors: np.ndarray | None = None
+    matches: tuple[np.ndarray, np.ndarray] | None = None
+
+    k_max_descriptor: int = 512
+    k_max_fpfh: int = 128
+    metrics: StageMetrics = field(default_factory=StageMetrics)
+
+    # ------------------------------------------------------------ keypoints --
+    def select_keypoints(
+        self,
+        selection_algorithm: Literal[
+            "random", "iterative", "subsampling", "subsampling_with_density"
+        ],
+        *,
+        neighborhood_size: float | None = None,
+        min_n_neighbors: int | None = None,
+        proportion_picked: float = 0.5,
+        force_recompute: bool = False,
+    ) -> None:
+        self.metrics.start(f"keypoints[{selection_algorithm}]")
+        if selection_algorithm == "random":
+            assert 0 <= proportion_picked <= 1, "Incorrect proportion passed."
+            if self.scan_keypoints is None or force_recompute:
+                self.scan_keypoints = select_query_indices_randomly(
+                    self.scan.shape[0], int(self.scan.shape[0] * proportion_picked),
+                    key=jax.random.key(0),
+                )
+            if self.ref_keypoints is None or force_recompute:
+                self.ref_keypoints = select_query_indices_randomly(
+                    self.ref.shape[0], int(self.ref.shape[0] * proportion_picked),
+                    key=jax.random.key(1),
+                )
+        elif selection_algorithm == "iterative":
+            if self.scan_keypoints is None or force_recompute:
+                self.scan_keypoints = select_keypoints_iteratively(self.scan, neighborhood_size)
+            if self.ref_keypoints is None or force_recompute:
+                self.ref_keypoints = select_keypoints_iteratively(self.ref, neighborhood_size)
+        elif selection_algorithm == "subsampling":
+            if self.scan_keypoints is None or force_recompute:
+                self.scan_keypoints = select_keypoints_subsampling(self.scan, neighborhood_size)
+            if self.ref_keypoints is None or force_recompute:
+                self.ref_keypoints = select_keypoints_subsampling(self.ref, neighborhood_size)
+        elif selection_algorithm == "subsampling_with_density":
+            if self.scan_keypoints is None or force_recompute:
+                self.scan_keypoints = select_keypoints_with_density_threshold(
+                    self.scan, neighborhood_size, min_n_neighbors
+                )
+            if self.ref_keypoints is None or force_recompute:
+                self.ref_keypoints = select_keypoints_with_density_threshold(
+                    self.ref, neighborhood_size, min_n_neighbors
+                )
+        else:
+            raise ValueError("Incorrect keypoint selection algorithm.")
+        self.metrics.stop(keypoints=len(self.scan_keypoints) + len(self.ref_keypoints))
+        logger.info(
+            "%d keypoints selected on scan out of %d points.",
+            len(self.scan_keypoints), self.scan.shape[0],
+        )
+        logger.info(
+            "%d keypoints selected on ref out of %d points.",
+            len(self.ref_keypoints), self.ref.shape[0],
+        )
+
+    # ----------------------------------------------------------- descriptors --
+    def compute_descriptors(
+        self,
+        radius: float,
+        descriptor_choice: Literal[
+            "fpfh", "shot_single_scale", "shot_bi_scale", "shot_multiscale"
+        ] = "shot_single_scale",
+        fpfh_n_bins: int = 5,
+        phi: float = 3.0,
+        rho: float = 10.0,
+        n_scales: int = 2,
+        subsample_support: bool = True,
+        normalize: bool = True,
+        share_local_rfs: bool = True,
+        min_neighborhood_size: int = 100,
+        force_recompute: bool = False,
+        **_compat,  # accepts reference-only args (n_procs, verbosity flags)
+    ) -> None:
+        """Stage dispatcher (reference pipeline.py:271-349; the reference's
+        ``shot_multiscale``/``shot_multi_scale`` dispatch mismatch — SURVEY.md
+        §2.4.4 — is fixed here by accepting both spellings)."""
+        self.metrics.start(f"descriptors[{descriptor_choice}]")
+        need_scan = self.scan_descriptors is None or force_recompute
+        need_ref = self.ref_descriptors is None or force_recompute
+
+        if descriptor_choice in ("shot_multiscale", "shot_multi_scale"):
+            computer = self._shot_computer(normalize, share_local_rfs, min_neighborhood_size)
+            radii = radius * phi ** np.arange(n_scales)
+            voxels = radii / rho if subsample_support else None
+            if need_scan:
+                self.scan_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                    self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                    radii=list(radii), voxel_sizes=None if voxels is None else list(voxels),
+                ))
+            if need_ref:
+                self.ref_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                    self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                    radii=list(radii), voxel_sizes=None if voxels is None else list(voxels),
+                ))
+        elif descriptor_choice == "shot_bi_scale":
+            computer = self._shot_computer(normalize, share_local_rfs, min_neighborhood_size)
+            voxel = radius / rho if subsample_support else None
+            if need_scan:
+                self.scan_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                    self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                    local_rf_radius=radius, shot_radius=radius * phi,
+                    subsampling_voxel_size=voxel,
+                ))
+            if need_ref:
+                self.ref_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                    self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                    local_rf_radius=radius, shot_radius=radius * phi,
+                    subsampling_voxel_size=voxel,
+                ))
+        elif descriptor_choice == "shot_single_scale":
+            computer = self._shot_computer(normalize, share_local_rfs, min_neighborhood_size)
+            voxel = radius / rho if subsample_support else None
+            if need_scan:
+                self.scan_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                    self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                    radius=radius, subsampling_voxel_size=voxel,
+                ))
+            if need_ref:
+                self.ref_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                    self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                    radius=radius, subsampling_voxel_size=voxel,
+                ))
+        elif descriptor_choice == "fpfh":
+            if need_scan:
+                self.scan_descriptors = np.asarray(compute_fpfh_descriptor(
+                    self.scan_keypoints, self.scan, self.scan_normals,
+                    radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
+                ))
+            if need_ref:
+                self.ref_descriptors = np.asarray(compute_fpfh_descriptor(
+                    self.ref_keypoints, self.ref, self.ref_normals,
+                    radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
+                ))
+        else:
+            raise ValueError("Incorrect descriptor choice")
+        self.metrics.stop(
+            descriptors=len(self.scan_keypoints) + len(self.ref_keypoints)
+        )
+
+    def _shot_computer(self, normalize, share_local_rfs, min_neighborhood_size):
+        return ShotComputer(
+            normalize=normalize,
+            share_local_rfs=share_local_rfs,
+            min_neighborhood_size=min_neighborhood_size,
+            k_max=self.k_max_descriptor,
+        )
+
+    # -------------------------------------------------------------- matching --
+    def find_descriptors_matches(
+        self,
+        matching_algorithm: Literal["simple", "double", "ratio", "threshold"],
+        *,
+        reject_threshold: float = 0.8,
+        threshold_multiplier: float = 10,
+        force_recompute: bool = False,
+    ) -> None:
+        if self.matches is not None and not force_recompute:
+            return
+        self.metrics.start(f"matching[{matching_algorithm}]")
+        if matching_algorithm == "simple":
+            self.matches = basic_matching(self.scan_descriptors, self.ref_descriptors)
+        elif matching_algorithm in ("double", "ratio"):
+            self.matches = lowe_matching(
+                self.scan_descriptors, self.ref_descriptors, reject_threshold
+            )
+        elif matching_algorithm == "threshold":
+            self.matches = match_descriptors(
+                self.scan_descriptors, self.ref_descriptors, threshold_filter,
+                threshold_multiplier=threshold_multiplier,
+            )
+        else:
+            raise ValueError("Incorrect matching algorithm selection.")
+        self.metrics.stop(matches=len(self.matches[0]))
+
+    def analyze_matches(self, matching_algorithm, exact_transformation: RigidTransform):
+        """Ground-truth accounting on matched keypoint *coordinates*
+        (the reference's pipeline variant passes index arrays by mistake —
+        SURVEY.md §2.4.8)."""
+        incorrect = get_incorrect_matches(
+            self.scan[self.scan_keypoints[self.matches[0]]],
+            self.ref[self.ref_keypoints[self.matches[1]]],
+            exact_transformation,
+        )
+        logger.info(
+            "%d incorrect matches out of %d matches and %d descriptors.",
+            incorrect.sum(), len(self.matches[0]), len(self.scan_descriptors),
+        )
+        if matching_algorithm in ("double", "ratio"):
+            return lowe_ratio_split(
+                self.scan[self.scan_keypoints], self.ref[self.ref_keypoints],
+                exact_transformation, self.scan_descriptors, self.ref_descriptors,
+            )
+        return incorrect
+
+    # ---------------------------------------------------------------- RANSAC --
+    def run_ransac(
+        self,
+        *,
+        n_draws: int = 10000,
+        draw_size: int = 4,
+        max_inliers_distance: float = 2,
+        seed: int = 72,
+        exact_transformation: RigidTransform | None = None,
+    ) -> tuple[RigidTransform, float]:
+        self.metrics.start("ransac")
+        ratio, transform = ransac_on_matches(
+            jnp.asarray(self.scan[self.scan_keypoints[self.matches[0]]], jnp.float32),
+            jnp.asarray(self.ref[self.ref_keypoints[self.matches[1]]], jnp.float32),
+            jax.random.key(seed),
+            n_draws=n_draws,
+            draw_size=draw_size,
+            distance_threshold=max_inliers_distance,
+        )
+        ratio = float(ratio)
+        self.metrics.stop(draws=n_draws)
+        if exact_transformation is not None:
+            ang = float(rotation_angle(exact_transformation.rotation, transform.rotation))
+            terr = float(
+                jnp.linalg.norm(exact_transformation.translation - transform.translation)
+            )
+            logger.info(
+                "Norm of the angle between the two rotations: %.2f\n"
+                "Norm of the difference between the two translations: %.2f", ang, terr,
+            )
+        return transform, ratio
+
+    # ------------------------------------------------------------------- ICP --
+    def run_icp(
+        self,
+        icp_type: Literal["point_to_point", "point_to_plane"],
+        transformation_init: RigidTransform,
+        *,
+        d_max: float,
+        voxel_size: float = 0.2,
+        max_iter: int = 30,
+        rms_threshold: float = 1e-2,
+    ) -> tuple[RigidTransform, float, bool]:
+        self.metrics.start(f"icp[{icp_type}]")
+        if icp_type == "point_to_point":
+            out = icp_point_to_point(
+                self.scan, self.ref, transformation_init,
+                d_max=d_max, voxel_size=voxel_size,
+                max_iter=max_iter, rms_threshold=rms_threshold,
+            )
+        elif icp_type == "point_to_plane":
+            out = icp_point_to_plane(
+                self.scan, self.ref, self.ref_normals, transformation_init,
+                d_max=d_max, voxel_size=voxel_size,
+                max_iter=max_iter, rms_threshold=rms_threshold,
+            )
+        else:
+            raise ValueError("Incorrect ICP type selected.")
+        self.metrics.stop(iterations=max_iter)
+        return out
+
+    # ---------------------------------------------------------------- metrics --
+    def compute_metrics_post_icp(
+        self, transformation_icp: RigidTransform, distance_threshold: float
+    ) -> tuple[float, float]:
+        """(overlap, keypoint-inlier ratio) — reference pipeline.py:544-587."""
+        moved = np.asarray(transformation_icp.apply(jnp.asarray(self.scan, jnp.float32)))
+        dist_all, _ = nearest_neighbor(jnp.asarray(moved), jnp.asarray(self.ref, jnp.float32))
+        overlap = float(np.mean(np.asarray(dist_all) <= distance_threshold))
+        dist_kp, _ = nearest_neighbor(
+            jnp.asarray(moved[self.scan_keypoints]),
+            jnp.asarray(self.ref[self.ref_keypoints], jnp.float32),
+        )
+        inliers = float(np.mean(np.asarray(dist_kp) <= distance_threshold))
+        return overlap, inliers
+
+    def write_alignments(self, *args: tuple[str, RigidTransform]) -> None:
+        """Write (transformed scan + ref) stacks with an ``is_scan`` flag
+        column (reference pipeline.py:589-608)."""
+        is_scan = np.hstack(
+            (np.ones(self.scan.shape[0], bool), np.zeros(self.ref.shape[0], bool))
+        )[:, None]
+        for file_name, transform in args:
+            moved = np.asarray(transform.apply(jnp.asarray(self.scan, jnp.float32)))
+            write_ply(
+                file_name,
+                [np.hstack((np.vstack((moved, self.ref)), is_scan))],
+                ["x", "y", "z", "is_scan"],
+            )

@@ -1,0 +1,87 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.registration import (
+    basic_matching,
+    lowe_matching,
+    match_descriptors,
+    threshold_filter,
+)
+
+
+def make_descriptors(rng, n_scan=40, n_ref=50, dim=16):
+    ref = rng.normal(size=(n_ref, dim)).astype(np.float32)
+    # scan descriptors = noisy copies of some ref descriptors
+    pick = rng.choice(n_ref, n_scan, replace=False)
+    scan = ref[pick] + rng.normal(scale=0.01, size=(n_scan, dim)).astype(np.float32)
+    return scan.astype(np.float32), ref, pick
+
+
+def test_basic_matching_recovers_correspondence(rng):
+    scan, ref, pick = make_descriptors(rng)
+    si, ri = basic_matching(scan, ref)
+    assert (ri == pick[si]).mean() > 0.95
+
+
+def test_basic_matching_skips_empty_rows(rng):
+    scan, ref, pick = make_descriptors(rng)
+    scan[3] = 0.0
+    ref[7] = 0.0
+    si, ri = basic_matching(scan, ref)
+    assert 3 not in si
+    assert 7 not in ri
+
+
+def test_cdist_parity_with_scipy(rng):
+    from shot_fpfh_tpu.registration import descriptor_sq_dists
+    try:
+        from scipy.spatial.distance import cdist
+    except ImportError:
+        return
+    a = rng.normal(size=(20, 8)).astype(np.float32)
+    b = rng.normal(size=(30, 8)).astype(np.float32)
+    ours = np.sqrt(np.asarray(descriptor_sq_dists(jnp.asarray(a), jnp.asarray(b))))
+    np.testing.assert_allclose(ours, cdist(a, b), atol=1e-4)
+
+
+def test_lowe_matching_rejects_ambiguous(rng):
+    # two identical ref descriptors -> ratio 1 -> rejected
+    ref = rng.normal(size=(10, 8)).astype(np.float32)
+    ref[5] = ref[4]
+    scan = ref[4:5] + 1e-4
+    si, ri = lowe_matching(scan, ref, threshold=0.8, verbose=False)
+    assert len(si) == 0
+    # unambiguous case is kept
+    scan2 = ref[0:1] + 1e-4
+    si2, _ = lowe_matching(scan2, ref, threshold=0.8, verbose=False)
+    assert len(si2) == 1
+
+
+def test_match_descriptors_with_threshold_filter(rng):
+    scan, ref, pick = make_descriptors(rng)
+    scan[10] += 5.0  # one gross outlier
+    si, ri = match_descriptors(
+        scan, ref, threshold_filter, threshold_multiplier=10, verbose=False
+    )
+    assert 10 not in si
+    assert (ri == pick[si]).mean() > 0.9
+
+
+def test_match_descriptors_reciprocal(rng):
+    scan, ref, pick = make_descriptors(rng)
+    si, ri = match_descriptors(
+        scan, ref, filter_nonreciprocal=True, n_min_matches=1, verbose=False
+    )
+    # all surviving matches must be mutual nearest neighbors
+    d = np.linalg.norm(scan[:, None] - ref[None], axis=-1)
+    for s, r in zip(si, ri):
+        assert d[s].argmin() == r
+        assert d[:, r].argmin() == s
+
+
+def test_match_descriptors_multiscale(rng):
+    scan, ref, pick = make_descriptors(rng, dim=8)
+    scan_ms = np.stack([scan, scan])
+    ref_ms = np.stack([ref, ref])
+    si, ri = match_descriptors(scan_ms, ref_ms, verbose=False)
+    assert (ri == pick[si]).mean() > 0.9

@@ -1,0 +1,180 @@
+"""End-to-end golden tests: synthetic cloud pair with known ground truth,
+through both the RegistrationPipeline API and the CLI."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from shot_fpfh_tpu.core import RigidTransform, quaternion_to_matrix, rotation_angle
+from shot_fpfh_tpu.io import write_ply
+from shot_fpfh_tpu.models import compute_normals
+from shot_fpfh_tpu.pipeline import RegistrationPipeline
+from tests.conftest import make_cloud
+
+
+def bumpy_cloud(n, rng, scale=2.0, n_bumps=12):
+    """Locally distinctive terrain: random Gaussian bumps break the
+    self-similarity that defeats descriptor matching on periodic surfaces."""
+    xy = rng.uniform(-scale, scale, size=(n, 2))
+    z = np.zeros(n)
+    centers = rng.uniform(-scale, scale, size=(n_bumps, 2))
+    heights = rng.uniform(-0.6, 0.6, size=n_bumps)
+    widths = rng.uniform(0.2, 0.7, size=n_bumps)
+    for c, h, w in zip(centers, heights, widths):
+        z += h * np.exp(-np.sum((xy - c) ** 2, axis=1) / (2 * w**2))
+    pts = np.column_stack([xy, z])
+    pts += rng.normal(scale=0.003, size=pts.shape)
+    return pts
+
+
+def make_pair(rng, n=2500):
+    """ref cloud + scan = T_gt⁻¹-ish motion of ref; returns the exact scan→ref
+    transform."""
+    ref = bumpy_cloud(n, rng).astype(np.float64)
+    q = rng.normal(size=4)
+    q[:3] *= 0.25  # ~28 degrees max
+    q /= np.linalg.norm(q)
+    rot = np.asarray(quaternion_to_matrix(jnp.asarray(q, jnp.float64)))
+    t = rng.normal(size=3) * 0.5
+    scan = ref @ rot.T + t  # scan = T(ref)
+    exact = RigidTransform(
+        jnp.asarray(rot.T, jnp.float32), jnp.asarray(-rot.T @ t, jnp.float32)
+    )  # scan -> ref
+    return scan, ref, exact
+
+
+@pytest.fixture(scope="module")
+def registered(rng=None):
+    rng = np.random.default_rng(7)
+    scan, ref, exact = make_pair(rng)
+    scan_n = np.asarray(compute_normals(scan, scan, k=20))
+    ref_n = np.asarray(compute_normals(ref, ref, k=20))
+    pipeline = RegistrationPipeline(
+        scan=scan, scan_normals=scan_n, ref=ref, ref_normals=ref_n,
+        k_max_descriptor=256, k_max_fpfh=96,
+    )
+    pipeline.select_keypoints("subsampling", neighborhood_size=0.25)
+    pipeline.compute_descriptors(
+        radius=0.5, descriptor_choice="shot_single_scale",
+        subsample_support=False, min_neighborhood_size=10, rho=10.0,
+    )
+    pipeline.find_descriptors_matches("ratio", reject_threshold=0.9)
+    tf_ransac, ratio = pipeline.run_ransac(
+        n_draws=1500, draw_size=4, max_inliers_distance=0.1, seed=72
+    )
+    tf_icp, rms, conv = pipeline.run_icp(
+        "point_to_plane", tf_ransac, d_max=0.3, voxel_size=0.1,
+        max_iter=40, rms_threshold=1e-4,
+    )
+    return pipeline, exact, tf_ransac, ratio, tf_icp, rms
+
+
+def test_ransac_close_to_ground_truth(registered):
+    _, exact, tf_ransac, ratio, _, _ = registered
+    ang = float(rotation_angle(tf_ransac.rotation, exact.rotation))
+    assert ang < 0.1, f"RANSAC rotation error {np.degrees(ang):.1f} deg"
+    # the wavy synthetic surface is self-similar, so many descriptor matches
+    # are wrong; RANSAC needs only a consistent cluster
+    assert ratio > 0.05
+
+
+def test_icp_refines_to_ground_truth(registered):
+    _, exact, _, _, tf_icp, rms = registered
+    ang = float(rotation_angle(tf_icp.rotation, exact.rotation))
+    terr = float(jnp.linalg.norm(tf_icp.translation - exact.translation))
+    assert ang < 0.02, f"ICP rotation error {np.degrees(ang):.2f} deg"
+    assert terr < 0.05, f"ICP translation error {terr:.3f}"
+
+
+def test_post_icp_metrics(registered):
+    pipeline, _, _, _, tf_icp, _ = registered
+    overlap, inliers = pipeline.compute_metrics_post_icp(tf_icp, 0.1)
+    assert overlap > 0.9
+    assert inliers > 0.5
+
+
+def test_pipeline_memoization(registered):
+    pipeline = registered[0]
+    desc_before = pipeline.scan_descriptors
+    pipeline.compute_descriptors(radius=0.5, descriptor_choice="shot_single_scale")
+    assert pipeline.scan_descriptors is desc_before  # memoized, not recomputed
+
+
+def test_write_alignments(registered, tmp_path):
+    pipeline, _, tf_ransac, _, tf_icp, _ = registered
+    out = str(tmp_path / "aligned.ply")
+    pipeline.write_alignments((out, tf_icp))
+    from shot_fpfh_tpu.io import read_ply
+
+    data = read_ply(out)
+    assert len(data) == pipeline.scan.shape[0] + pipeline.ref.shape[0]
+    assert data["is_scan"].sum() == pipeline.scan.shape[0]
+
+
+def test_fpfh_pipeline_end_to_end(rng):
+    """Config #1 of BASELINE.json: FPFH + matching + RANSAC + ICP."""
+    scan, ref, exact = make_pair(rng, n=1500)
+    scan_n = np.asarray(compute_normals(scan, scan, k=20))
+    ref_n = np.asarray(compute_normals(ref, ref, k=20))
+    pipeline = RegistrationPipeline(
+        scan=scan, scan_normals=scan_n, ref=ref, ref_normals=ref_n, k_max_fpfh=96,
+    )
+    pipeline.select_keypoints("subsampling", neighborhood_size=0.3)
+    pipeline.compute_descriptors(radius=0.4, descriptor_choice="fpfh", fpfh_n_bins=5)
+    pipeline.find_descriptors_matches("ratio", reject_threshold=0.95)
+    tf_ransac, _ = pipeline.run_ransac(
+        n_draws=1500, draw_size=4, max_inliers_distance=0.1
+    )
+    tf_icp, rms, _ = pipeline.run_icp(
+        "point_to_plane", tf_ransac, d_max=0.3, voxel_size=0.1,
+        max_iter=40, rms_threshold=1e-4,
+    )
+    ang = float(rotation_angle(tf_icp.rotation, exact.rotation))
+    assert ang < 0.03, f"FPFH pipeline rotation error {np.degrees(ang):.2f} deg"
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    """Full CLI run on synthetic .ply pair + .conf ground truth."""
+    from shot_fpfh_tpu.cli import main
+    from shot_fpfh_tpu.core import matrix_to_quaternion
+
+    scan, ref, exact = make_pair(rng, n=2500)
+    scan_path = str(tmp_path / "scan.ply")
+    ref_path = str(tmp_path / "ref.ply")
+    write_ply(scan_path, [scan], ["x", "y", "z"])
+    write_ply(ref_path, [ref], ["x", "y", "z"])
+
+    # conf: T_scan = exact (scan->world==ref frame), T_ref = identity
+    q = np.asarray(matrix_to_quaternion(exact.rotation))
+    t = np.asarray(exact.translation)
+    conf_path = str(tmp_path / "pair.conf")
+    with open(conf_path, "w") as f:
+        f.write(f"bmesh scan.ply {t[0]} {t[1]} {t[2]} {q[3]} {q[0]} {q[1]} {q[2]}\n")
+        f.write("bmesh ref.ply 0 0 0 1 0 0 0\n")
+
+    code = main([
+        "--scan_file_path", scan_path,
+        "--ref_file_path", ref_path,
+        "--conf_file_path", conf_path,
+        "--output_dir", str(tmp_path / "results"),
+        "--selection_algorithm", "subsampling",
+        "--neighborhood_size", "0.25",
+        "--descriptor_choice", "shot_single_scale",
+        "--radius", "0.5",
+        "--min_neighborhood_size", "10",
+        "--k_max_descriptor", "256",
+        "--matching_algorithm", "ratio",
+        "--reject_threshold", "0.9",
+        "--n_draws", "1500",
+        "--max_inliers_distance", "0.1",
+        "--d_max", "0.3",
+        "--voxel_size", "0.1",
+        "--max_iter", "40",
+        "--rms_threshold", "1e-4",
+        "--k_max_fpfh", "96",
+        "--normals_k", "20",
+        "--metrics_json", str(tmp_path / "metrics.json"),
+    ])
+    assert code == 0  # registration ACCEPTED
+    assert (tmp_path / "results" / "scan_on_ref_post_icp.ply").exists()
+    assert (tmp_path / "metrics.json").exists()

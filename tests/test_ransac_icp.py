@@ -1,0 +1,103 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.core import RigidTransform, quaternion_to_matrix, rotation_angle
+from shot_fpfh_tpu.registration import (
+    icp_point_to_plane,
+    icp_point_to_point,
+    icp_point_to_point_with_sampling,
+    ransac_on_matches,
+)
+from tests.conftest import make_cloud
+
+
+def ground_truth(rng, angle=0.5):
+    q = rng.normal(size=4)
+    q[:3] *= angle
+    q /= np.linalg.norm(q)
+    rot = np.asarray(quaternion_to_matrix(jnp.asarray(q, jnp.float32)))
+    return rot, rng.normal(size=3).astype(np.float32)
+
+
+def test_ransac_with_outliers(rng):
+    rot, t = ground_truth(rng)
+    scan = rng.normal(size=(200, 3)).astype(np.float32)
+    ref = (scan @ rot.T + t).astype(np.float32)
+    # corrupt 60% of the matches
+    bad = rng.choice(200, 120, replace=False)
+    ref_matches = ref.copy()
+    ref_matches[bad] = rng.normal(size=(120, 3)) * 5
+    ratio, tf = ransac_on_matches(
+        jnp.asarray(scan), jnp.asarray(ref_matches), jax.random.key(72),
+        n_draws=2000, draw_size=4, distance_threshold=0.1,
+    )
+    assert float(rotation_angle(tf.rotation, jnp.asarray(rot))) < 0.02
+    assert np.linalg.norm(np.asarray(tf.translation) - t) < 0.05
+    assert 0.3 < float(ratio) <= 0.45  # ~40% clean matches
+
+
+def test_ransac_perfect_matches(rng):
+    rot, t = ground_truth(rng)
+    scan = rng.normal(size=(50, 3)).astype(np.float32)
+    ref = (scan @ rot.T + t).astype(np.float32)
+    ratio, tf = ransac_on_matches(
+        jnp.asarray(scan), jnp.asarray(ref), jax.random.key(0),
+        n_draws=200, draw_size=4, distance_threshold=0.5,
+    )
+    assert float(ratio) == 1.0
+    assert float(rotation_angle(tf.rotation, jnp.asarray(rot))) < 1e-2
+
+
+def icp_setup(rng, n=2000):
+    ref = make_cloud(n, rng, scale=2.0).astype(np.float32)
+    rot, _ = ground_truth(rng, angle=0.05)  # small perturbation
+    t = rng.normal(size=3).astype(np.float32) * 0.05
+    scan = ((ref - t) @ rot).astype(np.float32)  # inverse-ish motion
+    return scan, ref, rot, t
+
+
+def test_icp_point_to_point_converges(rng):
+    scan, ref, rot, t = icp_setup(rng)
+    tf, rms, conv = icp_point_to_point(
+        scan, ref, RigidTransform.identity(), d_max=0.5,
+        voxel_size=0.15, max_iter=40, rms_threshold=1e-3,
+    )
+    moved = np.asarray(tf.apply(jnp.asarray(scan)))
+    d = np.linalg.norm(moved[:, None] - ref[None], axis=-1).min(axis=1)
+    assert np.sqrt((d**2).mean()) < 0.03
+
+
+def test_icp_point_to_plane_converges(rng):
+    from shot_fpfh_tpu.models import compute_normals
+
+    scan, ref, rot, t = icp_setup(rng)
+    ref_n = np.asarray(compute_normals(ref, ref, k=12))
+    tf, rms, conv = icp_point_to_plane(
+        scan, ref, ref_n, RigidTransform.identity(), d_max=0.5,
+        voxel_size=0.15, max_iter=40, rms_threshold=1e-4,
+    )
+    moved = np.asarray(tf.apply(jnp.asarray(scan)))
+    d = np.linalg.norm(moved[:, None] - ref[None], axis=-1).min(axis=1)
+    assert np.sqrt((d**2).mean()) < 0.03
+
+
+def test_icp_early_stop(rng):
+    # already aligned: must converge in very few iterations
+    ref = make_cloud(800, rng).astype(np.float32)
+    tf, rms, conv = icp_point_to_point(
+        ref, ref, RigidTransform.identity(), d_max=0.5,
+        voxel_size=0.1, max_iter=30, rms_threshold=1e-3,
+    )
+    assert conv
+    assert rms < 1e-3
+    np.testing.assert_allclose(np.asarray(tf.rotation), np.eye(3), atol=1e-3)
+
+
+def test_icp_with_sampling_runs(rng):
+    scan, ref, _, _ = icp_setup(rng, n=500)
+    pts, rms, conv = icp_point_to_point_with_sampling(
+        scan, ref, d_max=0.5, max_iter=10, sampling_limit=200,
+    )
+    assert pts.shape == scan.shape
+    assert np.isfinite(rms)
