@@ -82,6 +82,36 @@ def solve_point_to_plane(
     return RigidTransform(euler_xyz_to_matrix(x[..., :3]), x[..., 3:])
 
 
+def point_to_point_stats(scan, ref, weights):
+    """Per-shard sufficient statistics for distributed Kabsch: returns
+    ``(W, Σw·s, Σw·r, Σw·s·rᵀ)`` — 22 floats, psum-able across the mesh."""
+    w = weights[..., None]
+    return (
+        jnp.sum(weights, axis=-1),
+        jnp.sum(scan * w, axis=-2),
+        jnp.sum(ref * w, axis=-2),
+        jnp.einsum("...ki,...kj->...ij", scan * w, ref),
+    )
+
+
+def solve_point_to_point_from_stats(wsum, s_sum, r_sum, srt) -> RigidTransform:
+    """Kabsch from (psum-reduced) sufficient statistics."""
+    wsum = jnp.maximum(wsum, 1e-12)
+    s_bar = s_sum / wsum[..., None]
+    r_bar = r_sum / wsum[..., None]
+    cov = srt / wsum[..., None, None] - s_bar[..., :, None] * r_bar[..., None, :]
+    u, _, vt = jnp.linalg.svd(cov)
+    v = jnp.swapaxes(vt, -1, -2)
+    ut = jnp.swapaxes(u, -1, -2)
+    rot = v @ ut
+    det = jnp.linalg.det(rot)
+    flip = jnp.where(det < 0, -1.0, 1.0).astype(cov.dtype)[..., None, None]
+    ut_fixed = jnp.concatenate([ut[..., :2, :], ut[..., 2:3, :] * flip], axis=-2)
+    rot = v @ ut_fixed
+    trans = r_bar - jnp.einsum("...ij,...j->...i", rot, s_bar)
+    return RigidTransform(rot, trans)
+
+
 def solve_point_to_plane_from_normal_eq(gtg: jnp.ndarray, gth: jnp.ndarray) -> RigidTransform:
     """Build the transform from pre-reduced normal equations.
 

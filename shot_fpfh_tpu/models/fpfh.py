@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.histogram import batched_histogram, bin_index
+from ..ops.histogram import batched_histogram, bin_index, factored_histogram
 from ..ops.neighbors import radius_search
 
 
@@ -70,9 +70,12 @@ def compute_spfh(
         # i.e. interleaved (bin0: α,φ,θ, bin1: α,φ,θ, ...)
         spfh = jnp.stack(parts, axis=-1).reshape(cloud.shape[0], 3 * n_bins)
     else:
-        flat = (a_bin * n_bins + p_bin) * n_bins + t_bin
+        # n_bins³ joint histogram factored as α x (φ, θ): MXU contraction
+        # instead of a scatter-add (see ops.histogram.factored_histogram)
         wgt = (valid & a_in & p_in & t_in).astype(jnp.float32)
-        spfh = batched_histogram(flat, wgt, n_bins**3)
+        spfh = factored_histogram(
+            a_bin, p_bin * n_bins + t_bin, wgt, n_bins, n_bins**2
+        )
     return spfh / count[:, None], nbr
 
 

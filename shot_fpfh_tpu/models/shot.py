@@ -31,7 +31,7 @@ import numpy as np
 
 from ..core.subsampling import grid_subsample
 from ..ops.eigh3 import eigh3x3
-from ..ops.histogram import batched_histogram
+from ..ops.histogram import factored_histogram
 from ..ops.neighbors import Neighborhoods, radius_search
 
 N_COSINE_BINS = 11
@@ -188,28 +188,36 @@ def shot_from_neighborhoods(
     abs_az = jnp.abs(delta_az)
     az_nb = (az_bin + sign_az) % N_AZIMUTH_BINS
 
-    def flat(c, a, e, r):
-        return ((c * N_AZIMUTH_BINS + a) * N_ELEVATION_BINS + e) * N_RADIAL_BINS + r
+    # The 352-bin space factorizes as 11 cosine bins x 32 spatial cells
+    # (azimuth*4 + elevation*2 + radial); the scatter-add then becomes a
+    # factored one-hot contraction over neighbors on the MXU
+    # (ops.histogram.factored_histogram) — no scatter in the hot path.
+    def lo(a, e, r):
+        return (a * N_ELEVATION_BINS + e) * N_RADIAL_BINS + r
 
     zeros = jnp.zeros_like(rad_bin)
     ones = jnp.ones_like(rad_bin)
     contributions = [
-        (flat(cos_nb, az_bin, elev_bin, rad_bin), abs_cos),
-        (flat(cos_bin, az_bin, elev_bin, rad_bin), 1.0 - abs_cos),
-        (flat(cos_bin, az_bin, elev_bin, ones), outer * (rad_bin == 0)),
-        (flat(cos_bin, az_bin, elev_bin, zeros), inner * (rad_bin == 1)),
-        (flat(cos_bin, az_bin, elev_bin, rad_bin), husk_cur),
-        (flat(cos_bin, az_bin, ones, rad_bin), upper * (elev_bin == 0)),
-        (flat(cos_bin, az_bin, zeros, rad_bin), lower * (elev_bin == 1)),
-        (flat(cos_bin, az_bin, elev_bin, rad_bin), vert_cur),
-        (flat(cos_bin, az_nb, elev_bin, rad_bin), abs_az),
-        (flat(cos_bin, az_bin, elev_bin, rad_bin), 1.0 - abs_az),
+        (cos_nb, lo(az_bin, elev_bin, rad_bin), abs_cos),
+        (cos_bin, lo(az_bin, elev_bin, rad_bin), 1.0 - abs_cos),
+        (cos_bin, lo(az_bin, elev_bin, ones), outer * (rad_bin == 0)),
+        (cos_bin, lo(az_bin, elev_bin, zeros), inner * (rad_bin == 1)),
+        (cos_bin, lo(az_bin, elev_bin, rad_bin), husk_cur),
+        (cos_bin, lo(az_bin, ones, rad_bin), upper * (elev_bin == 0)),
+        (cos_bin, lo(az_bin, zeros, rad_bin), lower * (elev_bin == 1)),
+        (cos_bin, lo(az_bin, elev_bin, rad_bin), vert_cur),
+        (cos_bin, lo(az_nb, elev_bin, rad_bin), abs_az),
+        (cos_bin, lo(az_bin, elev_bin, rad_bin), 1.0 - abs_az),
     ]
-    idx = jnp.concatenate([c[0] for c in contributions], axis=1)  # (Q, 10K)
+    idx_hi = jnp.concatenate([c[0] for c in contributions], axis=1)  # (Q, 10K)
+    idx_lo = jnp.concatenate([c[1] for c in contributions], axis=1)
     wgt = jnp.concatenate(
-        [jnp.where(valid, c[1].astype(jnp.float32), 0.0) for c in contributions], axis=1
+        [jnp.where(valid, c[2].astype(jnp.float32), 0.0) for c in contributions], axis=1
     )
-    desc = batched_histogram(idx, wgt, SHOT_DIM)
+    desc = factored_histogram(
+        idx_hi, idx_lo, wgt, N_COSINE_BINS,
+        N_AZIMUTH_BINS * N_ELEVATION_BINS * N_RADIAL_BINS,
+    )
 
     count = jnp.sum(valid, axis=-1)
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)

@@ -60,11 +60,60 @@ def batched_histogram(
         onehot = (ic[:, :, None] == bins[None, None, :]).astype(jnp.float32)
         return acc + jnp.einsum("qcb,qc->qb", onehot, wc), None
 
-    acc0 = jnp.zeros((q, n_bins), jnp.float32)
+    # Derive the init from the inputs so its device-varying annotation matches
+    # the body output under shard_map's varying-axes check.
+    acc0 = jnp.zeros((q, n_bins), jnp.float32) + jnp.sum(w) * 0.0
     acc, _ = jax.lax.scan(
         body, acc0, (jnp.moveaxis(idx_p, 1, 0), jnp.moveaxis(w_p, 1, 0))
     )
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_hi", "n_lo", "chunk"))
+def factored_histogram(
+    idx_hi: jnp.ndarray,
+    idx_lo: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_hi: int,
+    n_lo: int,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Histogram over a product bin space ``bin = hi * n_lo + lo`` as a batched
+    MXU matmul: ``out[q] = Σ_m onehot(hi_m) ⊗ (w_m · onehot(lo_m))``.
+
+    This is the TPU-native form of the SHOT/FPFH scatter-add: building the two
+    small one-hots costs ``M·(n_hi+n_lo)`` VPU compares instead of
+    ``M·(n_hi·n_lo)``, and the accumulation over neighbors is a contraction
+    the MXU executes directly.  Out-of-range indices contribute nothing.
+
+    Returns (Q, n_hi·n_lo) float32.
+    """
+    q, m = idx_hi.shape
+    valid = (idx_hi >= 0) & (idx_hi < n_hi) & (idx_lo >= 0) & (idx_lo < n_lo)
+    w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
+
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    hi_p = jnp.pad(idx_hi, ((0, 0), (0, pad))).reshape(q, n_chunks, chunk)
+    lo_p = jnp.pad(idx_lo, ((0, 0), (0, pad))).reshape(q, n_chunks, chunk)
+    w_p = jnp.pad(w, ((0, 0), (0, pad))).reshape(q, n_chunks, chunk)
+
+    bins_hi = jnp.arange(n_hi, dtype=jnp.int32)
+    bins_lo = jnp.arange(n_lo, dtype=jnp.int32)
+
+    def body(acc, args):
+        hi_c, lo_c, w_c = args  # (Q, chunk)
+        a = (hi_c[:, :, None] == bins_hi).astype(jnp.float32)
+        b = (lo_c[:, :, None] == bins_lo).astype(jnp.float32) * w_c[:, :, None]
+        return acc + jnp.einsum("qmh,qml->qhl", a, b), None
+
+    acc0 = jnp.zeros((q, n_hi, n_lo), jnp.float32) + jnp.sum(w) * 0.0
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (jnp.moveaxis(hi_p, 1, 0), jnp.moveaxis(lo_p, 1, 0), jnp.moveaxis(w_p, 1, 0)),
+    )
+    return acc.reshape(q, n_hi * n_lo)
 
 
 def bin_index(x: jnp.ndarray, lo: float, hi: float, n_bins: int):

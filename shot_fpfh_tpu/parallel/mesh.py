@@ -1,0 +1,45 @@
+"""Device-mesh helpers for the sharded registration pipeline.
+
+The reference's only parallelism is a host process pool over keypoints
+(shot_parallelization.py:31).  The TPU equivalent is a 1-D device mesh over
+the *point/keypoint axis* (SURVEY.md §5 "long-context" row): keypoint blocks
+are data-parallel for descriptors, ref-descriptor tiles ride an ICI ring for
+matching, and RANSAC/ICP reductions are ``psum`` trees.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+POINTS_AXIS = "points"
+
+
+def make_mesh(n_devices: int = 0, axis: str = POINTS_AXIS) -> Mesh:
+    """1-D mesh over up to ``n_devices`` visible devices (0 = all)."""
+    devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Pad ``x`` along ``axis`` to a multiple; returns (padded, original_len)."""
+    n = x.shape[axis]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - n)
+    return np.pad(np.asarray(x), widths), n
+
+
+def shard_rows(x, mesh: Mesh, axis: str = POINTS_AXIS):
+    """Place ``x`` row-sharded over the mesh (first axis)."""
+    spec = P(axis, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

@@ -1,0 +1,322 @@
+"""Multi-chip registration stages: shard_map over a 1-D device mesh.
+
+The sharding layout (SURVEY.md §5, BASELINE.json north star):
+
+- **Descriptors** — keypoint blocks are data-parallel: each device computes
+  SHOT local RFs + histograms for its keypoint shard against the replicated
+  support cloud.  No collectives in the hot loop.
+- **Matching** — scan descriptors stay put; *ref-descriptor tiles ride an ICI
+  ring* (``ppermute``), each device keeping a running top-2 against every ref
+  tile — the ring-attention dataflow, so the full K_scan x K_ref distance
+  matrix never exists in any one chip's HBM.
+- **RANSAC** — draws are solved identically everywhere (tiny batched Kabsch);
+  inlier counting is sharded over matches and ``psum``-reduced.
+- **ICP** — scan points sharded; each iteration psums either the 6x6
+  point-to-plane normal equations or the Kabsch sufficient statistics
+  (22/42 floats per step cross the mesh, nothing else).
+
+Everything here also runs on a CPU mesh (``--xla_force_host_platform_device_count``),
+which is how the test suite and the driver's multichip dry-run exercise it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.solvers import (
+    point_to_plane_normal_eq,
+    point_to_point_stats,
+    solve_point_to_plane_from_normal_eq,
+    solve_point_to_point,
+    solve_point_to_point_from_stats,
+)
+from ..core.transform import RigidTransform
+from ..models.shot import local_reference_frames, shot_from_neighborhoods
+from ..ops.neighbors import radius_search
+from .mesh import POINTS_AXIS, pad_to_multiple, replicate, shard_rows
+
+
+# ------------------------------------------------------------- descriptors --
+def sharded_shot_descriptors(
+    keypoints: np.ndarray,
+    support: np.ndarray,
+    normals: np.ndarray,
+    radius: float,
+    mesh: Mesh,
+    *,
+    k_max: int = 256,
+    min_neighborhood_size: int = 100,
+    normalize: bool = True,
+) -> np.ndarray:
+    """SHOT descriptors with keypoints sharded over the mesh."""
+    n_dev = mesh.devices.size
+    kp_padded, n_orig = pad_to_multiple(np.asarray(keypoints, np.float32), n_dev)
+    kp = shard_rows(kp_padded, mesh)
+    sup = replicate(np.asarray(support, np.float32), mesh)
+    nrm = replicate(np.asarray(normals, np.float32), mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(POINTS_AXIS, None), P(), P()),
+        out_specs=P(POINTS_AXIS, None),
+    )
+    def compute(kp_block, support_rep, normals_rep):
+        nbr = radius_search(kp_block, support_rep, radius, k_max)
+        rfs = local_reference_frames(kp_block, support_rep[nbr.idx], nbr.mask, radius)
+        return shot_from_neighborhoods(
+            kp_block, support_rep[nbr.idx], normals_rep[nbr.idx], nbr.mask, rfs,
+            radius, normalize=normalize, min_neighborhood_size=min_neighborhood_size,
+        )
+
+    out = compute(kp, sup, nrm)
+    return np.asarray(out)[:n_orig]
+
+
+# ------------------------------------------------------------ ring matching --
+class RingMatchResult(NamedTuple):
+    idx: np.ndarray   # (Qs,) global index of nearest ref descriptor
+    d1: np.ndarray    # (Qs,) nearest distance
+    d2: np.ndarray    # (Qs,) second-nearest distance
+
+
+def ring_match(
+    scan_descriptors: np.ndarray, ref_descriptors: np.ndarray, mesh: Mesh
+) -> RingMatchResult:
+    """Nearest + second-nearest ref descriptor per scan descriptor, with ref
+    tiles passed around the ring via ``ppermute`` — no chip ever holds more
+    than its own ref tile."""
+    n_dev = mesh.devices.size
+    a_padded, n_scan = pad_to_multiple(np.asarray(scan_descriptors, np.float32), n_dev)
+    b_np = np.asarray(ref_descriptors, np.float32)
+    b_padded, n_ref = pad_to_multiple(b_np, max(2 * n_dev, n_dev))
+    b_valid = np.arange(len(b_padded)) < n_ref
+
+    a = shard_rows(a_padded, mesh)
+    b = shard_rows(b_padded, mesh)
+    bv = shard_rows(b_valid, mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS, None), P(POINTS_AXIS)),
+        out_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS)),
+    )
+    def inner(a_blk, b_blk, bv_blk):
+        qb = b_blk.shape[0]
+        me = jax.lax.axis_index(POINTS_AXIS)
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        an = jnp.sum(a_blk * a_blk, axis=-1, keepdims=True)
+
+        def step(carry, i):
+            b_cur, bv_cur, best_d, best_i, second_d = carry
+            src = (me - i) % n_dev  # origin shard of the tile we hold now
+            bn = jnp.sum(b_cur * b_cur, axis=-1)[None, :]
+            d2m = jnp.maximum(an + bn - 2.0 * (a_blk @ b_cur.T), 0.0)
+            d2m = jnp.where(bv_cur[None, :], d2m, jnp.inf)
+            neg, idx = jax.lax.top_k(-d2m, 2)
+            d1_blk = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
+            d2_blk = jnp.sqrt(jnp.maximum(-neg[:, 1], 0.0))
+            d1_blk = jnp.where(jnp.isfinite(-neg[:, 0]), d1_blk, jnp.inf)
+            d2_blk = jnp.where(jnp.isfinite(-neg[:, 1]), d2_blk, jnp.inf)
+            gi = (src * qb + idx[:, 0]).astype(jnp.int32)
+
+            better = d1_blk < best_d
+            new_second = jnp.minimum(
+                jnp.minimum(jnp.maximum(best_d, d1_blk), second_d), d2_blk
+            )
+            new_best = jnp.where(better, d1_blk, best_d)
+            new_best_i = jnp.where(better, gi, best_i)
+
+            b_next = jax.lax.ppermute(b_cur, POINTS_AXIS, perm)
+            bv_next = jax.lax.ppermute(bv_cur, POINTS_AXIS, perm)
+            return (b_next, bv_next, new_best, new_best_i, new_second), None
+
+        qa = a_blk.shape[0]
+        vary = lambda x: jax.lax.pvary(x, (POINTS_AXIS,))  # noqa: E731
+        init = (
+            b_blk, bv_blk,
+            vary(jnp.full((qa,), jnp.inf, jnp.float32)),
+            vary(jnp.zeros((qa,), jnp.int32)),
+            vary(jnp.full((qa,), jnp.inf, jnp.float32)),
+        )
+        (b_fin, bv_fin, best_d, best_i, second_d), _ = jax.lax.scan(
+            step, init, jnp.arange(n_dev)
+        )
+        return best_i, best_d, second_d
+
+    idx, d1, d2 = inner(a, b, bv)
+    return RingMatchResult(
+        np.asarray(idx)[:n_scan], np.asarray(d1)[:n_scan], np.asarray(d2)[:n_scan]
+    )
+
+
+# ----------------------------------------------------------------- RANSAC ---
+def sharded_ransac(
+    scan_matched: np.ndarray,
+    ref_matched: np.ndarray,
+    key,
+    mesh: Mesh,
+    *,
+    n_draws: int = 10000,
+    draw_size: int = 4,
+    distance_threshold: float = 1.0,
+    draw_chunk: int = 256,
+) -> tuple[float, RigidTransform]:
+    """RANSAC with inlier counting sharded over matches and psum-reduced.
+
+    The candidate transforms are solved identically on every device (tiny
+    batched Kabsch on replicated draws); only the (n_draws x local_matches)
+    inlier counting fans out.
+    """
+    n_dev = mesh.devices.size
+    m = len(scan_matched)
+    s_pad, _ = pad_to_multiple(np.asarray(scan_matched, np.float32), n_dev)
+    r_pad, _ = pad_to_multiple(np.asarray(ref_matched, np.float32), n_dev)
+    valid = np.arange(len(s_pad)) < m
+
+    s_rep = replicate(np.asarray(scan_matched, np.float32), mesh)
+    r_rep = replicate(np.asarray(ref_matched, np.float32), mesh)
+    s_sh = shard_rows(s_pad, mesh)
+    r_sh = shard_rows(r_pad, mesh)
+    v_sh = shard_rows(valid, mesh)
+    key_rep = replicate(jax.random.key_data(key), mesh)
+
+    n_chunks = -(-n_draws // draw_chunk)
+    thr2 = np.float32(distance_threshold**2)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(POINTS_AXIS, None), P(POINTS_AXIS, None), P(POINTS_AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def inner(scan_rep, ref_rep, scan_blk, ref_blk, valid_blk, key_data):
+        k = jax.random.wrap_key_data(key_data)
+        keys = jax.random.split(k, n_chunks * draw_chunk)
+        draws = jax.vmap(
+            lambda kk: jax.random.choice(kk, m, shape=(draw_size,), replace=False)
+        )(keys).reshape(n_chunks, draw_chunk, draw_size)
+        valid_f = valid_blk.astype(jnp.float32)
+
+        def step(carry, draw_idx):
+            best_count, best_rot, best_t = carry
+            src = scan_rep[draw_idx]
+            dst = ref_rep[draw_idx]
+            tf = solve_point_to_point(src, dst)
+            moved = (
+                jnp.einsum("cij,mj->cmi", tf.rotation, scan_blk)
+                + tf.translation[:, None, :]
+            )
+            d2 = jnp.sum((moved - ref_blk[None]) ** 2, axis=-1)
+            local = jnp.sum((d2 <= thr2).astype(jnp.float32) * valid_f[None, :], axis=-1)
+            counts = jax.lax.psum(local, POINTS_AXIS)  # identical on all devices
+            i = jnp.argmax(counts)
+            better = counts[i] > best_count
+            return (
+                jnp.where(better, counts[i], best_count),
+                jnp.where(better, tf.rotation[i], best_rot),
+                jnp.where(better, tf.translation[i], best_t),
+            ), None
+
+        init = (jnp.float32(-1.0), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        (count, rot, t), _ = jax.lax.scan(step, init, draws)
+        return count, rot, t
+
+    count, rot, t = inner(s_rep, r_rep, s_sh, r_sh, v_sh, key_rep)
+    best = RigidTransform(rot, t).normalize_rotation()
+    return float(count) / m, best
+
+
+# -------------------------------------------------------------------- ICP ---
+def sharded_icp(
+    scan_sub: np.ndarray,
+    ref: np.ndarray,
+    ref_normals: np.ndarray | None,
+    init: RigidTransform,
+    mesh: Mesh,
+    *,
+    d_max: float,
+    max_iter: int = 50,
+    rms_threshold: float = 1e-3,
+    point_to_plane: bool = True,
+) -> tuple[RigidTransform, float, bool]:
+    """ICP with the subsampled scan sharded over the mesh; per-iteration
+    reductions are psums of the solver's sufficient statistics."""
+    n_dev = mesh.devices.size
+    s_pad, n_orig = pad_to_multiple(np.asarray(scan_sub, np.float32), n_dev)
+    valid = np.arange(len(s_pad)) < n_orig
+
+    s_sh = shard_rows(s_pad, mesh)
+    v_sh = shard_rows(valid, mesh)
+    ref_rep = replicate(np.asarray(ref, np.float32), mesh)
+    nrm_rep = replicate(
+        np.asarray(ref_normals if ref_normals is not None else ref, np.float32), mesh
+    )
+    init_rot = replicate(np.asarray(init.rotation, np.float32), mesh)
+    init_t = replicate(np.asarray(init.translation, np.float32), mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def run(scan_blk, valid_blk, ref_r, nrm_r, rot0, t0):
+        from ..ops.neighbors import _sq_dists  # local tile argmin, no jit wrapper
+
+        def nn(q):
+            d2 = _sq_dists(q, ref_r)
+            idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+            return jnp.linalg.norm(q - ref_r[idx], axis=-1), idx
+
+        def body(state):
+            i, rot, t, _rms, _done = state
+            moved = scan_blk @ rot.T + t
+            dist, idx = nn(moved)
+            w = ((dist <= d_max) & valid_blk).astype(jnp.float32)
+            target = ref_r[idx]
+            if point_to_plane:
+                gtg, gth = point_to_plane_normal_eq(moved, target, nrm_r[idx], w)
+                gtg = jax.lax.psum(gtg, POINTS_AXIS)
+                gth = jax.lax.psum(gth, POINTS_AXIS)
+                delta = solve_point_to_plane_from_normal_eq(gtg, gth)
+                res = jnp.abs(jnp.sum((moved - target) * nrm_r[idx], axis=-1))
+                num = jax.lax.psum(jnp.sum(res * w), POINTS_AXIS)
+                den = jax.lax.psum(jnp.sum(w), POINTS_AXIS)
+                rms = num / jnp.maximum(den, 1.0)
+            else:
+                stats = point_to_point_stats(moved, target, w)
+                stats = jax.tree_util.tree_map(
+                    lambda x: jax.lax.psum(x, POINTS_AXIS), stats
+                )
+                delta = solve_point_to_point_from_stats(*stats)
+                num = jax.lax.psum(jnp.sum(w * dist**2), POINTS_AXIS)
+                den = jax.lax.psum(jnp.sum(w), POINTS_AXIS)
+                rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
+            composed = RigidTransform(delta.rotation, delta.translation) @ RigidTransform(rot, t)
+            return i + 1, composed.rotation, composed.translation, rms, rms < rms_threshold
+
+        def cond(state):
+            i, *_rest, done = state
+            return (i < max_iter) & (~done)
+
+        state = (
+            jnp.asarray(0, jnp.int32), rot0, t0,
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
+        )
+        i, rot, t, rms, done = jax.lax.while_loop(cond, body, state)
+        return rot, t, rms, done
+
+    rot, t, rms, done = run(s_sh, v_sh, ref_rep, nrm_rep, init_rot, init_t)
+    return RigidTransform(rot, t), float(rms), bool(done)

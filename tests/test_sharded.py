@@ -1,0 +1,108 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: every sharded stage must
+agree with its single-device counterpart."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shot_fpfh_tpu.core import RigidTransform, rotation_angle
+from shot_fpfh_tpu.models import compute_normals, compute_shot_descriptor
+from shot_fpfh_tpu.parallel import (
+    make_mesh,
+    ring_match,
+    sharded_icp,
+    sharded_ransac,
+    sharded_shot_descriptors,
+)
+from tests.test_pipeline import bumpy_cloud, make_pair
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+def test_sharded_shot_matches_single_device(mesh):
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(400, 3)).astype(np.float32)
+    normals = rng.normal(size=(400, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    kp = pts[:50]
+
+    single, _ = compute_shot_descriptor(
+        kp, pts, normals, 1.5, k_max=128, min_neighborhood_size=5
+    )
+    multi = sharded_shot_descriptors(
+        kp, pts, normals, 1.5, mesh, k_max=128, min_neighborhood_size=5
+    )
+    np.testing.assert_allclose(multi, np.asarray(single), atol=1e-4)
+
+
+def test_sharded_shot_nondivisible_keypoints(mesh):
+    rng = np.random.default_rng(6)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    normals = np.ones((300, 3), np.float32) / np.sqrt(3)
+    kp = pts[:13]  # not a multiple of 8
+    multi = sharded_shot_descriptors(
+        kp, pts, normals, 1.5, mesh, k_max=64, min_neighborhood_size=3
+    )
+    assert multi.shape == (13, 352)
+
+
+def test_ring_match_equals_bruteforce(mesh):
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(37, 16)).astype(np.float32)
+    b = rng.normal(size=(53, 16)).astype(np.float32)
+    res = ring_match(a, b, mesh)
+    d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    np.testing.assert_array_equal(res.idx, d.argmin(axis=1))
+    np.testing.assert_allclose(res.d1, d.min(axis=1), atol=1e-4)
+    d_sorted = np.sort(d, axis=1)
+    np.testing.assert_allclose(res.d2, d_sorted[:, 1], atol=1e-4)
+
+
+def test_sharded_ransac_recovers_transform(mesh):
+    rng = np.random.default_rng(3)
+    from tests.test_ransac_icp import ground_truth
+
+    rot, t = ground_truth(rng)
+    scan = rng.normal(size=(150, 3)).astype(np.float32)
+    ref = (scan @ rot.T + t).astype(np.float32)
+    bad = rng.choice(150, 75, replace=False)
+    ref_noisy = ref.copy()
+    ref_noisy[bad] += rng.normal(size=(75, 3)) * 4
+    ratio, tf = sharded_ransac(
+        scan, ref_noisy, jax.random.key(72), mesh,
+        n_draws=1024, draw_size=4, distance_threshold=0.1,
+    )
+    assert float(rotation_angle(tf.rotation, jnp.asarray(rot))) < 0.05
+    assert 0.3 < ratio <= 0.6
+
+
+def test_sharded_icp_matches_ground_truth(mesh):
+    rng = np.random.default_rng(4)
+    scan, ref, exact = make_pair(rng, n=1500)
+    ref_n = np.asarray(compute_normals(ref, ref, k=15))
+    from shot_fpfh_tpu.core import grid_subsample
+
+    sub = grid_subsample(scan.astype(np.float32), 0.15)
+    tf, rms, conv = sharded_icp(
+        np.asarray(scan, np.float32)[sub], ref.astype(np.float32), ref_n,
+        RigidTransform.identity(), mesh,
+        d_max=1.0, max_iter=40, rms_threshold=1e-4, point_to_plane=True,
+    )
+    ang = float(rotation_angle(tf.rotation, exact.rotation))
+    assert ang < 0.05, f"sharded ICP err {np.degrees(ang):.2f} deg"
+
+
+def test_sharded_icp_point_to_point(mesh):
+    rng = np.random.default_rng(9)
+    ref = bumpy_cloud(1200, rng).astype(np.float32)
+    tf, rms, conv = sharded_icp(
+        ref[::3], ref, None, RigidTransform.identity(), mesh,
+        d_max=0.5, max_iter=20, rms_threshold=1e-3, point_to_plane=False,
+    )
+    assert conv
+    np.testing.assert_allclose(np.asarray(tf.rotation), np.eye(3), atol=1e-3)
