@@ -26,10 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.histogram import batched_histogram, bin_index, factored_histogram
-from ..ops.neighbors import radius_search
+from ..ops.grid_hash import radius_search_auto
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins", "k_max", "decorrelated"))
 def compute_spfh(
     cloud_points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -38,10 +37,19 @@ def compute_spfh(
     k_max: int = 128,
     decorrelated: bool = False,
 ):
-    """SPFH for every cloud point.  Returns (spfh (N, D), neighborhoods)."""
+    """SPFH for every cloud point.  Returns (spfh (N, D), neighborhoods).
+
+    Neighbor search auto-dispatches to the grid-hash engine for large clouds
+    (every cloud point is a query here, so this pass is O(N·N) under brute
+    force but O(N·27·cap) through the grid)."""
     cloud = jnp.asarray(cloud_points, jnp.float32)
     nrm = jnp.asarray(normals, jnp.float32)
-    nbr = radius_search(cloud, cloud, radius, k_max)
+    nbr = radius_search_auto(cloud, cloud, radius, k_max)
+    return _spfh_from_neighborhoods(cloud, nrm, nbr, radius, n_bins, decorrelated), nbr
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "decorrelated"))
+def _spfh_from_neighborhoods(cloud, nrm, nbr, radius, n_bins, decorrelated):
 
     p_j = cloud[nbr.idx]  # (N, K, 3)
     n_j = nrm[nbr.idx]
@@ -76,7 +84,7 @@ def compute_spfh(
         spfh = factored_histogram(
             a_bin, p_bin * n_bins + t_bin, wgt, n_bins, n_bins**2
         )
-    return spfh / count[:, None], nbr
+    return spfh / count[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("kp_chunk",))

@@ -14,12 +14,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.eigh3 import pca_eigh
+from ..ops.grid_hash import knn_auto, radius_search_auto
 from ..ops.neighbors import knn, radius_search
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
-    nbr = knn(query_points, cloud_points, k)
+    nbr = knn_auto(query_points, cloud_points, k)
+    return _normals_from_neighborhoods(query_points, cloud_points, nbr, pre_computed_normals)
+
+
+@jax.jit
+def _normals_from_neighborhoods(query_points, cloud_points, nbr, pre_computed_normals):
     pts = cloud_points[nbr.idx]
     _, v, _ = pca_eigh(pts, nbr.mask)
     normals = v[..., :, 0]  # eigenvector of the smallest eigenvalue

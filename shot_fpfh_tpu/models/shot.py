@@ -32,6 +32,7 @@ import numpy as np
 from ..core.subsampling import grid_subsample
 from ..ops.eigh3 import eigh3x3
 from ..ops.histogram import factored_histogram
+from ..ops.grid_hash import radius_search_auto
 from ..ops.neighbors import Neighborhoods, radius_search
 
 N_COSINE_BINS = 11
@@ -244,7 +245,7 @@ def compute_shot_descriptor(
     kp = jnp.asarray(keypoints, jnp.float32)
     sup = jnp.asarray(support_points, jnp.float32)
     nrm = jnp.asarray(support_normals, jnp.float32)
-    nbr = radius_search(kp, sup, radius, k_max)
+    nbr = radius_search_auto(kp, sup, radius, k_max)
     if local_rfs is None:
         rf_nbr = nbr if local_rf_neighborhoods is None else local_rf_neighborhoods
         local_rfs = local_reference_frames(kp, sup[rf_nbr.idx], rf_nbr.mask, radius)

@@ -34,12 +34,22 @@ class IcpResult(NamedTuple):
     n_iters: jnp.ndarray
 
 
-def _icp_loop(scan_sub, ref, ref_normals, init: RigidTransform, d_max, max_iter, rms_threshold, point_to_plane: bool):
+def _icp_loop(scan_sub, ref, ref_normals, init: RigidTransform, d_max, max_iter,
+              rms_threshold, point_to_plane: bool, grid=None):
+    def _nn(moved):
+        if grid is not None:
+            # grid 1-NN with cell_size == d_max is exact for ICP: any true NN
+            # farther than d_max is past the inlier cut anyway
+            from ..ops.grid_hash import grid_nearest_neighbor
+
+            return grid_nearest_neighbor(grid, moved)
+        return nearest_neighbor(moved, ref)
+
     def body(state):
         i, rot, t, _rms, _done = state
         tf = RigidTransform(rot, t)
         moved = tf.apply(scan_sub)
-        dist, nn = nearest_neighbor(moved, ref)
+        dist, nn = _nn(moved)
         w = (dist <= d_max).astype(jnp.float32)
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         target = ref[nn]
@@ -70,25 +80,35 @@ def _icp_loop(scan_sub, ref, ref_normals, init: RigidTransform, d_max, max_iter,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def icp_point_to_point_jit(scan_sub, ref, init_rot, init_t, d_max, max_iter, rms_threshold):
+def icp_point_to_point_jit(scan_sub, ref, init_rot, init_t, d_max, max_iter,
+                           rms_threshold, grid=None):
     return _icp_loop(
         jnp.asarray(scan_sub, jnp.float32),
         jnp.asarray(ref, jnp.float32),
         None,
         RigidTransform(init_rot, init_t),
-        d_max, max_iter, rms_threshold, point_to_plane=False,
+        d_max, max_iter, rms_threshold, point_to_plane=False, grid=grid,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def icp_point_to_plane_jit(scan_sub, ref, ref_normals, init_rot, init_t, d_max, max_iter, rms_threshold):
+def icp_point_to_plane_jit(scan_sub, ref, ref_normals, init_rot, init_t, d_max,
+                           max_iter, rms_threshold, grid=None):
     return _icp_loop(
         jnp.asarray(scan_sub, jnp.float32),
         jnp.asarray(ref, jnp.float32),
         jnp.asarray(ref_normals, jnp.float32),
         RigidTransform(init_rot, init_t),
-        d_max, max_iter, rms_threshold, point_to_plane=True,
+        d_max, max_iter, rms_threshold, point_to_plane=True, grid=grid,
     )
+
+
+def _maybe_grid(ref, d_max):
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
+
+    if np.asarray(ref).shape[0] >= AUTO_GRID_MIN_POINTS:
+        return build_grid(np.asarray(ref, np.float32), float(d_max))
+    return None
 
 
 def icp_point_to_point(
@@ -107,7 +127,7 @@ def icp_point_to_point(
         np.asarray(scan)[sub], ref,
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
-        d_max, max_iter, rms_threshold,
+        d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
     )
     return res.transform, float(res.rms), bool(res.has_converged)
 
@@ -128,7 +148,7 @@ def icp_point_to_plane(
         np.asarray(scan)[sub], ref, ref_normals,
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
-        d_max, max_iter, rms_threshold,
+        d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
     )
     return res.transform, float(res.rms), bool(res.has_converged)
 

@@ -1,0 +1,99 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.ops.grid_hash import (
+    build_grid,
+    grid_nearest_neighbor,
+    grid_radius_search,
+    radius_search_auto,
+)
+from shot_fpfh_tpu.ops.neighbors import radius_search
+
+
+def clouds(rng, n=3000, scale=4.0):
+    pts = rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    return pts
+
+
+def test_grid_matches_bruteforce(rng):
+    pts = clouds(rng)
+    q = pts[:200]
+    radius = 0.5
+    brute = radius_search(jnp.asarray(q), jnp.asarray(pts), radius, 64)
+    grid = build_grid(pts, radius)
+    ours = grid_radius_search(grid, jnp.asarray(q), radius, 64)
+    # same neighbor sets (sort indices within each row)
+    for i in range(200):
+        b = set(np.asarray(brute.idx[i])[np.asarray(brute.mask[i])])
+        g = set(np.asarray(ours.idx[i])[np.asarray(ours.mask[i])])
+        assert b == g, f"row {i}: {b ^ g}"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ours.dist), axis=1),
+        np.sort(np.asarray(brute.dist), axis=1),
+        atol=1e-5,
+    )
+
+
+def test_grid_dense_cell(rng):
+    # many coincident points in one cell: cell_cap must cover them
+    pts = np.vstack([
+        rng.normal(scale=0.01, size=(500, 3)),
+        rng.uniform(-3, 3, size=(500, 3)),
+    ]).astype(np.float32)
+    grid = build_grid(pts, 0.4)
+    assert grid.cell_cap >= 500
+    res = grid_radius_search(grid, jnp.asarray(pts[:5]), 0.4, 600)
+    brute = radius_search(jnp.asarray(pts[:5]), jnp.asarray(pts), 0.4, 600)
+    np.testing.assert_array_equal(
+        np.asarray(res.mask).sum(1), np.asarray(brute.mask).sum(1)
+    )
+
+
+def test_grid_queries_outside_cloud(rng):
+    pts = clouds(rng, n=1000)
+    far = np.array([[50.0, 50.0, 50.0], [-50.0, 0.0, 0.0]], np.float32)
+    grid = build_grid(pts, 0.5)
+    res = grid_radius_search(grid, jnp.asarray(far), 0.5, 32)
+    assert np.asarray(res.mask).sum() == 0
+
+
+def test_grid_nearest_neighbor(rng):
+    pts = clouds(rng, n=2000)
+    q = pts[:300] + rng.normal(scale=0.05, size=(300, 3)).astype(np.float32)
+    grid = build_grid(pts, 0.5)
+    dist, idx = grid_nearest_neighbor(grid, jnp.asarray(q))
+    d = np.linalg.norm(q[:, None] - pts[None], axis=-1)
+    # exact whenever the true NN is within the cell neighborhood
+    expected = d.min(axis=1)
+    ours = np.asarray(dist)
+    close = expected <= 0.5
+    np.testing.assert_allclose(ours[close], expected[close], atol=1e-5)
+
+
+def test_radius_search_auto_dispatch(rng):
+    pts = clouds(rng, n=500)
+    res = radius_search_auto(pts[:20], pts, 0.5, 32)
+    brute = radius_search(jnp.asarray(pts[:20]), jnp.asarray(pts), 0.5, 32)
+    np.testing.assert_array_equal(np.asarray(res.mask), np.asarray(brute.mask))
+
+
+def test_grid_shot_descriptors_match_brute(rng):
+    """SHOT computed from grid-hash neighborhoods == brute-force neighborhoods."""
+    from shot_fpfh_tpu.models.shot import local_reference_frames, shot_from_neighborhoods
+
+    pts = clouds(rng, n=2500, scale=2.0)
+    normals = rng.normal(size=(2500, 3))
+    normals = (normals / np.linalg.norm(normals, axis=1, keepdims=True)).astype(np.float32)
+    kp = pts[:40]
+    radius = 0.8
+
+    def descriptors(nbr):
+        rfs = local_reference_frames(jnp.asarray(kp), jnp.asarray(pts)[nbr.idx], nbr.mask, radius)
+        return shot_from_neighborhoods(
+            jnp.asarray(kp), jnp.asarray(pts)[nbr.idx], jnp.asarray(normals)[nbr.idx],
+            nbr.mask, rfs, radius, normalize=True, min_neighborhood_size=5,
+        )
+
+    brute = descriptors(radius_search(jnp.asarray(kp), jnp.asarray(pts), radius, 128))
+    grid = descriptors(grid_radius_search(build_grid(pts, radius), jnp.asarray(kp), radius, 128))
+    np.testing.assert_allclose(np.asarray(brute), np.asarray(grid), atol=1e-4)
