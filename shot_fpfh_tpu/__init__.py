@@ -25,16 +25,30 @@ from .core import (  # noqa: E402
 from .ops import knn, nearest_neighbor, radius_count, radius_search  # noqa: E402
 
 
+# Reference-parity top-level API (shot_fpfh/__init__.py:1-25), loaded lazily
+# to keep `import shot_fpfh_tpu` light.
+_LAZY = {
+    "RegistrationPipeline": ("shot_fpfh_tpu.pipeline", "RegistrationPipeline"),
+    "load_config_from_yaml": ("shot_fpfh_tpu.configuration", "load_config_from_yaml"),
+    "compute_normals": ("shot_fpfh_tpu.models.normals", "compute_normals"),
+    "get_transform_from_conf_file": ("shot_fpfh_tpu.io.ground_truth", "get_transform_from_conf_file"),
+    "check_transform": ("shot_fpfh_tpu.analysis", "check_transform"),
+    "get_incorrect_matches": ("shot_fpfh_tpu.analysis", "get_incorrect_matches"),
+    "plot_distance_hists": ("shot_fpfh_tpu.analysis", "plot_distance_hists"),
+    "read_ply": ("shot_fpfh_tpu.io.ply", "read_ply"),
+    "write_ply": ("shot_fpfh_tpu.io.ply", "write_ply"),
+    "get_data": ("shot_fpfh_tpu.io.ply", "get_data"),
+    "checkpoint": ("shot_fpfh_tpu.utils.perf", "checkpoint"),
+    "timeit": ("shot_fpfh_tpu.utils.perf", "timeit"),
+}
+
+
 def __getattr__(name):
-    # heavier layers are imported lazily to keep `import shot_fpfh_tpu` light
-    if name == "RegistrationPipeline":
-        from .pipeline import RegistrationPipeline
+    if name in _LAZY:
+        import importlib
 
-        return RegistrationPipeline
-    if name == "load_config_from_yaml":
-        from .configuration import load_config_from_yaml
-
-        return load_config_from_yaml
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(name)
 
 

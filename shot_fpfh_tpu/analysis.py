@@ -41,6 +41,27 @@ def lowe_ratio_split(
     return ratios[correct], ratios[~correct]
 
 
+def check_transform(scan, ref, transformation: RigidTransform, bins: int = 100):
+    """NN-distance histogram under a candidate transform (reference
+    ``check_transform``, ground_truth_retrieval.py:51-61); renders when
+    matplotlib is available, always returns the histogram data."""
+    from .io.ground_truth import nn_distance_histogram
+
+    counts, edges = nn_distance_histogram(scan, ref, transformation, bins)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.hist(edges[:-1], bins=edges, weights=counts)
+        plt.savefig("check_transform.png")
+        plt.close()
+    except ImportError:
+        pass
+    return counts, edges
+
+
 def plot_distance_hists(scan, ref, exact_transformation, scan_descriptors, ref_descriptors):
     """Render the ratio histograms when matplotlib + display are available."""
     correct, incorrect = lowe_ratio_split(

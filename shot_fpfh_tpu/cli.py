@@ -98,6 +98,10 @@ def main(argv=None) -> int:
     timer = checkpoint()
 
     compute_cfg = config["compute"]
+    if compute_cfg.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     scan, scan_normals = get_data(
         args.scan_file_path, k=compute_cfg.normals_k,
         normals_computation_callback=compute_normals,
@@ -123,6 +127,10 @@ def main(argv=None) -> int:
         k_max_fpfh=compute_cfg.k_max_fpfh,
     )
 
+    if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):
+        logger.info("Resuming intermediate state from %s", compute_cfg.state_cache)
+        pipeline.load_state(compute_cfg.state_cache)
+
     kp_cfg = config["keypoint_selection"]
     logger.info(kp_cfg.help_message())
     pipeline.select_keypoints(
@@ -147,6 +155,10 @@ def main(argv=None) -> int:
         min_neighborhood_size=desc_cfg.min_neighborhood_size,
     )
     timer("Descriptors")
+
+    if compute_cfg.state_cache and not os.path.exists(compute_cfg.state_cache):
+        pipeline.save_state(compute_cfg.state_cache)
+        logger.info("Saved intermediate state to %s", compute_cfg.state_cache)
 
     match_cfg = config["matching"]
     logger.info(match_cfg.help_message())

@@ -175,6 +175,8 @@ class ComputeConfig(Config):
     normals_k: int = 30           # k-NN size for normal estimation
     mesh_axis: str = "points"     # 1-D mesh axis name for sharded stages
     n_devices: int = 0            # 0 = all visible devices
+    debug_nans: bool = False      # enable jax_debug_nans (debug runs)
+    state_cache: str = ""         # npz path for descriptor checkpoint/resume
 
     def help_message(self) -> str:
         return (

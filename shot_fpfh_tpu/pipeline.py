@@ -118,6 +118,59 @@ class RegistrationPipeline:
         )
 
     # ----------------------------------------------------------- descriptors --
+    def compute_shot_descriptor_single_scale(
+        self, radius, subsampling_voxel_size=None, force_recompute=False,
+        **shot_config,
+    ) -> None:
+        """Reference API parity (pipeline.py:132-174)."""
+        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        if self.scan_descriptors is None or force_recompute:
+            self.scan_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                radius=radius, subsampling_voxel_size=subsampling_voxel_size,
+            ))
+        if self.ref_descriptors is None or force_recompute:
+            self.ref_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                radius=radius, subsampling_voxel_size=subsampling_voxel_size,
+            ))
+
+    def compute_shot_descriptor_bi_scale(
+        self, local_rf_radius, shot_radius, subsampling_voxel_size=None,
+        force_recompute=False, **shot_config,
+    ) -> None:
+        """Reference API parity (pipeline.py:176-221)."""
+        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        if self.scan_descriptors is None or force_recompute:
+            self.scan_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                local_rf_radius=local_rf_radius, shot_radius=shot_radius,
+                subsampling_voxel_size=subsampling_voxel_size,
+            ))
+        if self.ref_descriptors is None or force_recompute:
+            self.ref_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                local_rf_radius=local_rf_radius, shot_radius=shot_radius,
+                subsampling_voxel_size=subsampling_voxel_size,
+            ))
+
+    def compute_shot_descriptor_multiscale(
+        self, radii, voxel_sizes=None, weights=None, force_recompute=False,
+        **shot_config,
+    ) -> None:
+        """Reference API parity (pipeline.py:223-269)."""
+        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        if self.scan_descriptors is None or force_recompute:
+            self.scan_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                self.scan, self.scan_normals, self.scan[self.scan_keypoints],
+                radii=radii, voxel_sizes=voxel_sizes, weights=weights,
+            ))
+        if self.ref_descriptors is None or force_recompute:
+            self.ref_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                self.ref, self.ref_normals, self.ref[self.ref_keypoints],
+                radii=radii, voxel_sizes=voxel_sizes, weights=weights,
+            ))
+
     def compute_descriptors(
         self,
         radius: float,
@@ -331,6 +384,32 @@ class RegistrationPipeline:
         )
         inliers = float(np.mean(np.asarray(dist_kp) <= distance_threshold))
         return overlap, inliers
+
+    # ---------------------------------------------------- checkpoint/resume --
+    def save_state(self, path: str) -> None:
+        """Persist the memoized intermediate state (keypoints, descriptors,
+        matches) so RANSAC/ICP can be re-run without recomputing descriptors —
+        the on-disk upgrade of the reference's in-memory memoization
+        (SURVEY.md §5 checkpoint/resume row)."""
+        state = {}
+        for name in ("scan_keypoints", "ref_keypoints", "scan_descriptors",
+                     "ref_descriptors"):
+            value = getattr(self, name)
+            if value is not None:
+                state[name] = np.asarray(value)
+        if self.matches is not None:
+            state["matches_scan"] = np.asarray(self.matches[0])
+            state["matches_ref"] = np.asarray(self.matches[1])
+        np.savez_compressed(path, **state)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        for name in ("scan_keypoints", "ref_keypoints", "scan_descriptors",
+                     "ref_descriptors"):
+            if name in data:
+                setattr(self, name, data[name])
+        if "matches_scan" in data:
+            self.matches = (data["matches_scan"], data["matches_ref"])
 
     def write_alignments(self, *args: tuple[str, RigidTransform]) -> None:
         """Write (transformed scan + ref) stacks with an ``is_scan`` flag

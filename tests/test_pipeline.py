@@ -178,3 +178,39 @@ def test_cli_end_to_end(tmp_path, rng):
     assert code == 0  # registration ACCEPTED
     assert (tmp_path / "results" / "scan_on_ref_post_icp.ply").exists()
     assert (tmp_path / "metrics.json").exists()
+
+
+def test_per_scale_shot_api_and_state_roundtrip(tmp_path, rng):
+    """Reference-parity per-scale methods + on-disk checkpoint/resume."""
+    scan, ref, exact = make_pair(rng, n=800)
+    scan_n = np.asarray(compute_normals(scan, scan, k=15))
+    ref_n = np.asarray(compute_normals(ref, ref, k=15))
+    p = RegistrationPipeline(
+        scan=scan, scan_normals=scan_n, ref=ref, ref_normals=ref_n,
+        k_max_descriptor=128,
+    )
+    p.select_keypoints("subsampling", neighborhood_size=0.4)
+    p.compute_shot_descriptor_bi_scale(
+        local_rf_radius=0.4, shot_radius=0.8, min_neighborhood_size=5
+    )
+    assert p.scan_descriptors.shape[1] == 352
+    p.find_descriptors_matches("simple")
+
+    state = str(tmp_path / "state.npz")
+    p.save_state(state)
+    p2 = RegistrationPipeline(
+        scan=scan, scan_normals=scan_n, ref=ref, ref_normals=ref_n
+    )
+    p2.load_state(state)
+    np.testing.assert_array_equal(p2.scan_keypoints, p.scan_keypoints)
+    np.testing.assert_allclose(p2.scan_descriptors, p.scan_descriptors)
+    np.testing.assert_array_equal(p2.matches[0], p.matches[0])
+
+    # multiscale variant produces concatenated scales
+    p3 = RegistrationPipeline(
+        scan=scan, scan_normals=scan_n, ref=ref, ref_normals=ref_n,
+        k_max_descriptor=128,
+    )
+    p3.select_keypoints("subsampling", neighborhood_size=0.5)
+    p3.compute_shot_descriptor_multiscale(radii=[0.4, 0.8], min_neighborhood_size=5)
+    assert p3.scan_descriptors.shape[1] == 704
