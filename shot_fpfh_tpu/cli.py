@@ -85,6 +85,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute.add_argument("--k_max_descriptor", type=int, default=None)
     compute.add_argument("--k_max_fpfh", type=int, default=None)
     compute.add_argument("--normals_k", type=int, default=None)
+    compute.add_argument("--state_cache", type=str, default=None,
+                         help="npz path: save/resume keypoints+descriptors+matches")
+    compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
 
     return parser.parse_args(argv)
 
