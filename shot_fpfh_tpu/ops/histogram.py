@@ -14,6 +14,13 @@ Note on semantics: NumPy's fancy ``a[idx] += w`` silently drops duplicate
 indices within one statement; ``np.add.at`` semantics (true accumulation, as in
 the SHOT/FPFH papers) is what both implementations produce.  This is a
 deliberate correction of reference behavior (documented deviation).
+
+Pallas note: a hand-written Mosaic kernel for the factored contraction was
+prototyped and measured *worse* than this XLA formulation — the one-hot minor
+dims (11/32 bins) pad to 128 lanes in VMEM (4-12x memory blowup, 44MB for a
+64x512 block), while XLA's fusion of compare->convert->dot_general already
+avoids materializing the one-hots in HBM.  Revisit only with a
+bin-dims-in-sublanes layout.
 """
 
 from __future__ import annotations

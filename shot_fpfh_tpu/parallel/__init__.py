@@ -1,4 +1,10 @@
 from .mesh import POINTS_AXIS, make_mesh, pad_to_multiple, replicate, shard_rows
+from .multihost import (
+    global_keypoint_array,
+    host_local_keypoint_shard,
+    initialize_distributed,
+    scaling_report,
+)
 from .sharded import (
     RingMatchResult,
     ring_match,
@@ -8,6 +14,10 @@ from .sharded import (
 )
 
 __all__ = [
+    "global_keypoint_array",
+    "host_local_keypoint_shard",
+    "initialize_distributed",
+    "scaling_report",
     "POINTS_AXIS",
     "make_mesh",
     "pad_to_multiple",

@@ -85,6 +85,37 @@ class Checkpoint:
         self._ref = now
 
 
+class trace_annotation:
+    """Context manager adding a ``jax.profiler`` trace annotation around a
+    pipeline stage (visible in TensorBoard/xprof traces); no-op if the
+    profiler is unavailable."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._ctx = None
+
+    def __enter__(self):
+        try:
+            self._ctx = jax.profiler.TraceAnnotation(self.name)
+            self._ctx.__enter__()
+        except Exception:
+            self._ctx = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False
+
+
+def start_profiler_trace(log_dir: str) -> None:
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_profiler_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 class StageMetrics:
     """Structured per-stage metrics: wall-clock + throughput counters,
     dumpable as JSON — the observability upgrade over log-only timers."""
@@ -96,10 +127,15 @@ class StageMetrics:
 
     def start(self, name: str) -> None:
         self._name = name
+        self._annotation = trace_annotation(name)
+        self._annotation.__enter__()
         self._start = perf_counter()
 
     def stop(self, **counters: float) -> dict[str, Any]:
         elapsed = perf_counter() - self._start
+        if getattr(self, "_annotation", None) is not None:
+            self._annotation.__exit__(None, None, None)
+            self._annotation = None
         record: dict[str, Any] = {"stage": self._name, "seconds": elapsed}
         for key, value in counters.items():
             record[key] = value

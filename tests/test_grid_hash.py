@@ -97,3 +97,19 @@ def test_grid_shot_descriptors_match_brute(rng):
     brute = descriptors(radius_search(jnp.asarray(kp), jnp.asarray(pts), radius, 128))
     grid = descriptors(grid_radius_search(build_grid(pts, radius), jnp.asarray(kp), radius, 128))
     np.testing.assert_allclose(np.asarray(brute), np.asarray(grid), atol=1e-4)
+
+
+def test_grid_approx_recall(rng):
+    pts = clouds(rng, n=5000, scale=2.0)
+    q = pts[:100]
+    radius = 0.8
+    grid = build_grid(pts, radius)
+    exact = grid_radius_search(grid, jnp.asarray(q), radius, 64)
+    approx = grid_radius_search(grid, jnp.asarray(q), radius, 64, approx=True)
+    recalls = []
+    for i in range(100):
+        e = set(np.asarray(exact.idx[i])[np.asarray(exact.mask[i])])
+        a = set(np.asarray(approx.idx[i])[np.asarray(approx.mask[i])])
+        if e:
+            recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > 0.9

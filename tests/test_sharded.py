@@ -106,3 +106,31 @@ def test_sharded_icp_point_to_point(mesh):
     )
     assert conv
     np.testing.assert_allclose(np.asarray(tf.rotation), np.eye(3), atol=1e-3)
+
+
+def test_multihost_helpers_single_process(mesh):
+    """Single-process behavior of the multi-host helpers."""
+    from shot_fpfh_tpu.parallel import (
+        global_keypoint_array,
+        host_local_keypoint_shard,
+        initialize_distributed,
+    )
+
+    initialize_distributed()  # no-op for 1 process
+    kp = np.arange(48, dtype=np.float32).reshape(16, 3)
+    local = host_local_keypoint_shard(kp)
+    np.testing.assert_array_equal(local, kp)  # 1 process owns everything
+    arr = global_keypoint_array(local, mesh)
+    assert arr.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(arr), kp)
+
+
+def test_scaling_report_runs(mesh):
+    from shot_fpfh_tpu.parallel import scaling_report
+
+    res = scaling_report(
+        n_keypoints=64, n_support=2000, radius=1.0, k_max=32,
+        device_counts=(1, 0),
+    )
+    assert 1 in res and 8 in res
+    assert res[8] > 0 and res[1] > 0
