@@ -228,6 +228,20 @@ def shot_from_neighborhoods(
     return jnp.where(keep, desc, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("normalize", "min_neighborhood_size"))
+def _shot_from_search(kp, sup, nrm, nbr, local_rfs, radius, normalize, min_neighborhood_size):
+    """Fused gather + local-RF + histogram: one program, one neighbor gather."""
+    nb_pts = sup[nbr.idx]
+    nb_nrm = nrm[nbr.idx]
+    if local_rfs is None:
+        local_rfs = local_reference_frames(kp, nb_pts, nbr.mask, radius)
+    desc = shot_from_neighborhoods(
+        kp, nb_pts, nb_nrm, nbr.mask, local_rfs, radius,
+        normalize=normalize, min_neighborhood_size=min_neighborhood_size,
+    )
+    return desc, local_rfs
+
+
 def compute_shot_descriptor(
     keypoints,
     support_points,
@@ -246,20 +260,12 @@ def compute_shot_descriptor(
     sup = jnp.asarray(support_points, jnp.float32)
     nrm = jnp.asarray(support_normals, jnp.float32)
     nbr = radius_search_auto(kp, sup, radius, k_max)
-    if local_rfs is None:
-        rf_nbr = nbr if local_rf_neighborhoods is None else local_rf_neighborhoods
+    if local_rfs is None and local_rf_neighborhoods is not None:
+        rf_nbr = local_rf_neighborhoods
         local_rfs = local_reference_frames(kp, sup[rf_nbr.idx], rf_nbr.mask, radius)
-    desc = shot_from_neighborhoods(
-        kp,
-        sup[nbr.idx],
-        nrm[nbr.idx],
-        nbr.mask,
-        local_rfs,
-        radius,
-        normalize=normalize,
-        min_neighborhood_size=min_neighborhood_size,
+    return _shot_from_search(
+        kp, sup, nrm, nbr, local_rfs, radius, normalize, min_neighborhood_size
     )
-    return desc, local_rfs
 
 
 class ShotComputer:

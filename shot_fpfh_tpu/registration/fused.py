@@ -1,0 +1,219 @@
+"""Fully-fused registration: the whole pipeline as ONE XLA program.
+
+The reference executes registration as a sequence of host-orchestrated stages
+(scripts/register_point_clouds.py:25-158).  Here the complete chain —
+
+  SHOT descriptors (scan+ref) → ratio matching → RANSAC → point-to-plane ICP
+
+— compiles into a single ``jit``: zero host round-trips, every intermediate
+stays in HBM, and XLA schedules/fuses across stage boundaries.  This is the
+production serving entry point (and the driver's ``entry()`` flagship step).
+
+Fixed-shape tricks that make it possible:
+- keypoints are padded with validity masks; invalid keypoints produce all-zero
+  descriptors (the SHOT sparse-neighborhood convention doubles as padding).
+- "variable-length" match lists become a boolean ``valid_match`` row mask.
+- RANSAC samples 4 *valid* matches per draw via masked Gumbel-top-k (no
+  dynamic-shape choice), and counts inliers only over valid rows.
+- ICP runs its bounded ``lax.while_loop`` on a pre-subsampled padded scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.solvers import solve_point_to_plane, solve_point_to_point
+from ..core.transform import RigidTransform
+from ..models.shot import local_reference_frames, shot_from_neighborhoods
+from ..ops.neighbors import nearest_neighbor, radius_search
+from .matching import descriptor_sq_dists
+
+
+class FusedResult(NamedTuple):
+    ransac_transform: RigidTransform
+    icp_transform: RigidTransform
+    ransac_inlier_ratio: jnp.ndarray
+    n_matches: jnp.ndarray
+    icp_rms: jnp.ndarray
+    icp_converged: jnp.ndarray
+
+
+def _shot(kp, valid, sup, nrm, radius, k_max, min_nb):
+    nbr = radius_search(kp, sup, radius, k_max)
+    mask = nbr.mask & valid[:, None]
+    nb_pts = sup[nbr.idx]
+    rfs = local_reference_frames(kp, nb_pts, mask, radius)
+    return shot_from_neighborhoods(
+        kp, nb_pts, nrm[nbr.idx], mask, rfs, radius,
+        normalize=True, min_neighborhood_size=min_nb,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_max", "min_neighborhood_size", "n_draws", "draw_size", "max_iter",
+        "point_to_plane",
+    ),
+)
+def fused_registration(
+    scan_kp: jnp.ndarray,        # (Qs, 3) padded scan keypoints
+    scan_kp_valid: jnp.ndarray,  # (Qs,)
+    ref_kp: jnp.ndarray,         # (Qr, 3)
+    ref_kp_valid: jnp.ndarray,   # (Qr,)
+    scan_support: jnp.ndarray,   # (Ns, 3) descriptor support clouds
+    scan_normals: jnp.ndarray,
+    ref_support: jnp.ndarray,    # (Nr, 3)
+    ref_normals: jnp.ndarray,
+    scan_sub: jnp.ndarray,       # (S, 3) ICP-subsampled scan
+    scan_sub_valid: jnp.ndarray,  # (S,)
+    key: jax.Array,
+    *,
+    radius: float,
+    ratio_threshold: float = 0.9,
+    ransac_threshold: float = 0.3,
+    d_max: float = 0.3,
+    rms_threshold: float = 1e-4,
+    k_max: int = 256,
+    min_neighborhood_size: int = 10,
+    n_draws: int = 2048,
+    draw_size: int = 4,
+    max_iter: int = 40,
+    point_to_plane: bool = True,
+) -> FusedResult:
+    # ---- descriptors ------------------------------------------------------
+    scan_desc = _shot(scan_kp, scan_kp_valid, scan_support, scan_normals,
+                      radius, k_max, min_neighborhood_size)
+    ref_desc = _shot(ref_kp, ref_kp_valid, ref_support, ref_normals,
+                     radius, k_max, min_neighborhood_size)
+
+    # ---- ratio matching ---------------------------------------------------
+    ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
+    d2 = descriptor_sq_dists(scan_desc, ref_desc)
+    d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
+    neg, idx2 = jax.lax.top_k(-d2, 2)
+    d1 = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
+    dsecond = jnp.sqrt(jnp.maximum(-neg[:, 1], 0.0))
+    nn_idx = idx2[:, 0]
+    scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
+    ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
+    valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
+    n_matches = jnp.sum(valid_match)
+
+    src = scan_kp                      # (Qs, 3)
+    dst = ref_kp[nn_idx]               # (Qs, 3)
+    match_w = valid_match.astype(jnp.float32)
+
+    # ---- RANSAC (masked Gumbel-top-k sampling) ----------------------------
+    thr2 = jnp.asarray(ransac_threshold, jnp.float32) ** 2
+    chunk = 256
+    n_chunks = -(-n_draws // chunk)
+
+    def score_chunk(carry, k_chunk):
+        best_count, best_rot, best_t = carry
+        g = jax.random.gumbel(k_chunk, (chunk, src.shape[0]))
+        logits = jnp.where(valid_match[None, :], g, -jnp.inf)
+        _, draws = jax.lax.top_k(logits, draw_size)  # (chunk, draw_size)
+        tf = solve_point_to_point(src[draws], dst[draws])
+        moved = jnp.einsum("cij,mj->cmi", tf.rotation, src) + tf.translation[:, None, :]
+        dd = jnp.sum((moved - dst[None]) ** 2, axis=-1)
+        counts = jnp.sum((dd <= thr2).astype(jnp.float32) * match_w[None, :], axis=-1)
+        i = jnp.argmax(counts)
+        better = counts[i] > best_count
+        return (
+            jnp.where(better, counts[i], best_count),
+            jnp.where(better, tf.rotation[i], best_rot),
+            jnp.where(better, tf.translation[i], best_t),
+        ), None
+
+    keys = jax.random.split(key, n_chunks)
+    init = (jnp.float32(-1.0), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+    (best_count, rot0, t0), _ = jax.lax.scan(score_chunk, init, keys)
+    ransac_tf = RigidTransform(rot0, t0).normalize_rotation()
+    inlier_ratio = best_count / jnp.maximum(n_matches.astype(jnp.float32), 1.0)
+
+    # ---- ICP --------------------------------------------------------------
+    sub_w_base = scan_sub_valid.astype(jnp.float32)
+
+    def body(state):
+        i, rot, t, _rms, _done = state
+        moved = scan_sub @ rot.T + t
+        dist, nn = nearest_neighbor(moved, ref_support)
+        w = (dist <= d_max).astype(jnp.float32) * sub_w_base
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        target = ref_support[nn]
+        if point_to_plane:
+            delta = solve_point_to_plane(moved, target, ref_normals[nn], w)
+            residual = jnp.abs(jnp.sum((moved - target) * ref_normals[nn], axis=-1))
+            rms = jnp.sum(residual * w) / wsum
+        else:
+            delta = solve_point_to_point(moved, target, w)
+            rms = jnp.sqrt(jnp.sum(w * dist**2) / wsum)
+        composed = delta @ RigidTransform(rot, t)
+        return i + 1, composed.rotation, composed.translation, rms, rms < rms_threshold
+
+    def cond(state):
+        i, *_r, done = state
+        return (i < max_iter) & (~done)
+
+    state = (jnp.asarray(0, jnp.int32), ransac_tf.rotation, ransac_tf.translation,
+             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False))
+    _, rot, t, rms, done = jax.lax.while_loop(cond, body, state)
+
+    return FusedResult(
+        ransac_transform=ransac_tf,
+        icp_transform=RigidTransform(rot, t),
+        ransac_inlier_ratio=inlier_ratio,
+        n_matches=n_matches,
+        icp_rms=rms,
+        icp_converged=done,
+    )
+
+
+def register_pair(
+    scan: np.ndarray,
+    scan_normals: np.ndarray,
+    ref: np.ndarray,
+    ref_normals: np.ndarray,
+    *,
+    keypoint_voxel: float,
+    icp_voxel: float,
+    radius: float,
+    key=None,
+    pad_multiple: int = 256,
+    **fused_kwargs,
+) -> FusedResult:
+    """Host-facing wrapper: keypoint selection + ICP subsampling on device
+    (dynamic sizes), padding to stable buckets, then the single fused program."""
+    from ..core.subsampling import grid_subsample
+
+    if key is None:
+        key = jax.random.key(72)
+
+    def pad(arr, mult):
+        n = len(arr)
+        target = -(-max(n, 1) // mult) * mult
+        out = np.zeros((target,) + arr.shape[1:], arr.dtype)
+        out[:n] = arr
+        valid = np.arange(target) < n
+        return out, valid
+
+    scan32 = np.asarray(scan, np.float32)
+    ref32 = np.asarray(ref, np.float32)
+    scan_kp, scan_kp_valid = pad(scan32[grid_subsample(scan32, keypoint_voxel)], pad_multiple)
+    ref_kp, ref_kp_valid = pad(ref32[grid_subsample(ref32, keypoint_voxel)], pad_multiple)
+    scan_sub, scan_sub_valid = pad(scan32[grid_subsample(scan32, icp_voxel)], pad_multiple)
+
+    return fused_registration(
+        jnp.asarray(scan_kp), jnp.asarray(scan_kp_valid),
+        jnp.asarray(ref_kp), jnp.asarray(ref_kp_valid),
+        jnp.asarray(scan32), jnp.asarray(scan_normals, jnp.float32),
+        jnp.asarray(ref32), jnp.asarray(ref_normals, jnp.float32),
+        jnp.asarray(scan_sub), jnp.asarray(scan_sub_valid),
+        key, radius=radius, **fused_kwargs,
+    )
