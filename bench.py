@@ -44,7 +44,9 @@ def main() -> None:
     n_baseline = int(os.environ.get("BENCH_N_BASELINE", 192))
     radius = float(os.environ.get("BENCH_RADIUS", 0.9))
     k_max = int(os.environ.get("BENCH_K_MAX", 256))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # 20 on-device reps amortize the remote-TPU per-dispatch overhead (~400ms
+    # through the tunnel) so the per-rep number reflects device time.
+    reps = int(os.environ.get("BENCH_REPS", 20))
 
     import jax
     import jax.numpy as jnp
@@ -64,16 +66,19 @@ def main() -> None:
     from shot_fpfh_tpu.registration.matching import nearest_descriptor
 
     # grid built once per cloud (the analog of the reference's one-time KDTree
-    # construction, which its per-keypoint timings exclude too)
+    # construction, which its per-keypoint timings exclude too); normals ride
+    # along as extras so the search returns gathered [points | normals] rows
     t0 = time.perf_counter()
-    grid = build_grid(cloud, radius)
-    log(f"grid build: {time.perf_counter() - t0:.2f}s (cell_cap={grid.cell_cap})")
+    grid = build_grid(cloud, radius, extras=normals_np)
+    log(f"grid build: {time.perf_counter() - t0:.2f}s "
+        f"(cell_cap={grid.cell_cap}, window_cap={grid.window_cap})")
 
     def shot_and_match(kp, sup, nrm):
-        nbr = grid_radius_search(grid, kp, radius, k_max)
-        rfs = local_reference_frames(kp, sup[nbr.idx], nbr.mask, radius)
+        nbr, vals = grid_radius_search(grid, kp, radius, k_max, with_values=True)
+        nb_pts, nb_nrm = vals[..., :3], vals[..., 3:6]
+        rfs = local_reference_frames(kp, nb_pts, nbr.mask, radius)
         desc = shot_from_neighborhoods(
-            kp, sup[nbr.idx], nrm[nbr.idx], nbr.mask, rfs, radius,
+            kp, nb_pts, nb_nrm, nbr.mask, rfs, radius,
             normalize=True, min_neighborhood_size=100,
         )
         # matching leg: nearest descriptor within the same set (self-match

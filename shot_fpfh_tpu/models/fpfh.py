@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.histogram import batched_histogram, bin_index, factored_histogram
-from ..ops.grid_hash import radius_search_auto
+from ..ops.grid_hash import radius_search_with_values_auto
 
 
 def compute_spfh(
@@ -44,18 +44,19 @@ def compute_spfh(
     force but O(N·27·cap) through the grid)."""
     cloud = jnp.asarray(cloud_points, jnp.float32)
     nrm = jnp.asarray(normals, jnp.float32)
-    nbr = radius_search_auto(cloud, cloud, radius, k_max)
-    return _spfh_from_neighborhoods(cloud, nrm, nbr, radius, n_bins, decorrelated), nbr
+    # fused search: neighbor [points | normals] come back gathered
+    nbr, vals = radius_search_with_values_auto(cloud, cloud, nrm, radius, k_max)
+    spfh = _spfh_from_values(
+        cloud, nrm, vals[..., :3], vals[..., 3:6], nbr.dist, nbr.mask,
+        radius, n_bins, decorrelated,
+    )
+    return spfh, nbr
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "decorrelated"))
-def _spfh_from_neighborhoods(cloud, nrm, nbr, radius, n_bins, decorrelated):
-
-    p_j = cloud[nbr.idx]  # (N, K, 3)
-    n_j = nrm[nbr.idx]
+def _spfh_from_values(cloud, nrm, p_j, n_j, d, mask, radius, n_bins, decorrelated):
     diff = p_j - cloud[:, None, :]
-    d = nbr.dist
-    valid = nbr.mask & (d > 0)
+    valid = mask & (d > 0)
 
     u = nrm[:, None, :]  # (N, 1, 3)
     v = jnp.cross(diff, jnp.broadcast_to(u, diff.shape))
@@ -68,7 +69,7 @@ def _spfh_from_neighborhoods(cloud, nrm, nbr, radius, n_bins, decorrelated):
     p_bin, p_in = bin_index(phi, -1.0, 1.0, n_bins)
     t_bin, t_in = bin_index(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
 
-    count = jnp.maximum(jnp.sum(nbr.mask, axis=-1), 1).astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(jnp.float32)
     if decorrelated:
         parts = []
         for b, in_r in ((a_bin, a_in), (p_bin, p_in), (t_bin, t_in)):

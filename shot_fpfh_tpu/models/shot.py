@@ -32,7 +32,7 @@ import numpy as np
 from ..core.subsampling import grid_subsample
 from ..ops.eigh3 import eigh3x3
 from ..ops.histogram import factored_histogram
-from ..ops.grid_hash import radius_search_auto
+from ..ops.grid_hash import radius_search_with_values_auto
 from ..ops.neighbors import Neighborhoods, radius_search
 
 N_COSINE_BINS = 11
@@ -229,14 +229,13 @@ def shot_from_neighborhoods(
 
 
 @functools.partial(jax.jit, static_argnames=("normalize", "min_neighborhood_size"))
-def _shot_from_search(kp, sup, nrm, nbr, local_rfs, radius, normalize, min_neighborhood_size):
-    """Fused gather + local-RF + histogram: one program, one neighbor gather."""
-    nb_pts = sup[nbr.idx]
-    nb_nrm = nrm[nbr.idx]
+def _shot_from_values(kp, nb_pts, nb_nrm, mask, local_rfs, radius, normalize,
+                      min_neighborhood_size):
+    """Local-RF + histogram on pre-gathered neighborhoods (one program)."""
     if local_rfs is None:
-        local_rfs = local_reference_frames(kp, nb_pts, nbr.mask, radius)
+        local_rfs = local_reference_frames(kp, nb_pts, mask, radius)
     desc = shot_from_neighborhoods(
-        kp, nb_pts, nb_nrm, nbr.mask, local_rfs, radius,
+        kp, nb_pts, nb_nrm, mask, local_rfs, radius,
         normalize=normalize, min_neighborhood_size=min_neighborhood_size,
     )
     return desc, local_rfs
@@ -259,12 +258,16 @@ def compute_shot_descriptor(
     kp = jnp.asarray(keypoints, jnp.float32)
     sup = jnp.asarray(support_points, jnp.float32)
     nrm = jnp.asarray(support_normals, jnp.float32)
-    nbr = radius_search_auto(kp, sup, radius, k_max)
+    # Fused search: neighbor points AND normals come back gathered (the grid
+    # engine compacts candidates and carries [points | normals] rows along —
+    # no post-search HBM gathers).
+    nbr, vals = radius_search_with_values_auto(kp, sup, nrm, radius, k_max)
     if local_rfs is None and local_rf_neighborhoods is not None:
         rf_nbr = local_rf_neighborhoods
         local_rfs = local_reference_frames(kp, sup[rf_nbr.idx], rf_nbr.mask, radius)
-    return _shot_from_search(
-        kp, sup, nrm, nbr, local_rfs, radius, normalize, min_neighborhood_size
+    return _shot_from_values(
+        kp, vals[..., :3], vals[..., 3:6], nbr.mask, local_rfs, radius,
+        normalize, min_neighborhood_size,
     )
 
 

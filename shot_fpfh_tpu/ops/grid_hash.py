@@ -1,4 +1,4 @@
-"""Grid-hash neighbor engine (v2): voxel bucketing + 27-cell candidate scan.
+"""Grid-hash neighbor engine (v2): voxel bucketing + compacted candidate scan.
 
 The brute-force engine (``neighbors.py``) scans all N points per query; its
 ``top_k`` over the full cloud dominates runtime (measured 208ms of a 265ms
@@ -7,14 +7,23 @@ SHOT step at N=50k) and its memory is O(Q·N) — unusable at ~1M points
 
 1. **Build** (once per cloud): points are bucketed into cells of edge
    ``cell_size`` (= search radius), sorted by linearized cell id via one
-   device sort; each cell's segment is found by binary search.
-2. **Query**: each query gathers up to ``cell_cap`` candidates from each of
-   its 27 adjacent cells (fixed shapes), computes exact distances, masks the
-   radius, and runs ``top_k`` over the ~27·cap candidates instead of N.
+   device sort; a dense cell-start table maps cell id -> first sorted row.
+   Optional per-point ``extras`` (e.g. normals) are carried along in grid
+   order so queries can return gathered values with no second HBM gather.
+2. **Query**: each query's 27 adjacent cells are 27 *contiguous runs* in the
+   sorted arrays.  The runs are concatenated into one compact candidate list
+   of static width ``window_cap`` (the max total occupancy of any 3x3x3 cell
+   window, computed once at build) by pure index arithmetic — no sort, no
+   scatter.  Exact distances mask the radius; ``top_k`` selects the k_max
+   nearest.  Compaction matters: the naive fixed layout of 27 slots x
+   ``cell_cap`` (the max *single-cell* occupancy) wastes ~80% of the gather
+   rows on padding; measured 59ms -> 27ms for the bench search at N=50k,
+   Q=4096, k=256 — including the value gather that used to cost another 20ms.
 
-``cell_cap`` is chosen from the true max cell occupancy (computed on device,
-read once on host at build time), so the result is EXACT — identical to
-brute force up to top-k tie order.
+``window_cap`` bounds every possible query: any 3x3x3 window's in-grid
+occupancy is bounded by the window centered at the per-axis-clamped cell, and
+the build maximizes over all in-grid centers.  The result is EXACT —
+identical to brute force up to top-k tie order.
 """
 
 from __future__ import annotations
@@ -36,15 +45,19 @@ _OFFSETS = np.array(
 
 @jax.tree_util.register_pytree_node_class
 class HashGrid:
-    """Sorted-bucket grid; ``cell_cap`` is static metadata (it sets shapes).
+    """Sorted-bucket grid; ``cell_cap``/``window_cap`` are static metadata
+    (they set shapes).
 
+    ``packed_sorted`` holds ``[points | extras]`` rows in cell order so one
+    candidate gather serves both the distance test and the caller's values.
     ``cell_starts`` (built when the grid is dense enough) maps each linear cell
     id to its first row in the sorted arrays, replacing per-query binary
     searches with two table gathers (measured 31.5ms -> ~1ms at Q=4096)."""
 
-    def __init__(self, points_sorted, orig_idx, cell_ids_sorted, origin, dims,
-                 cell_size, cell_starts, cell_cap: int, has_table: bool):
-        self.points_sorted = points_sorted  # (N, 3) points in cell order
+    def __init__(self, packed_sorted, orig_idx, cell_ids_sorted, origin, dims,
+                 cell_size, cell_starts, cell_cap: int, has_table: bool,
+                 window_cap: int):
+        self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
         self.origin = origin                # (3,)
@@ -53,15 +66,20 @@ class HashGrid:
         self.cell_starts = cell_starts      # (n_cells+1,) int32 or (1,) dummy
         self.cell_cap = cell_cap            # static: max points per cell
         self.has_table = has_table          # static
+        self.window_cap = window_cap        # static: max points per 3x3x3 window
+
+    @property
+    def points_sorted(self):
+        return self.packed_sorted[:, :3]
 
     def tree_flatten(self):
-        children = (self.points_sorted, self.orig_idx, self.cell_ids_sorted,
+        children = (self.packed_sorted, self.orig_idx, self.cell_ids_sorted,
                     self.origin, self.dims, self.cell_size, self.cell_starts)
-        return children, (self.cell_cap, self.has_table)
+        return children, (self.cell_cap, self.has_table, self.window_cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        return cls(*children, aux[0], aux[1], aux[2])
 
 
 @jax.jit
@@ -81,11 +99,33 @@ def _build_device(points: jnp.ndarray, cell_size):
     return pts[orig_idx], orig_idx, ids_sorted, origin, dims, cell_size, jnp.max(counts)
 
 
-def build_grid(points, cell_size: float) -> HashGrid:
-    """Host wrapper: builds the grid and fixes ``cell_cap`` to the true max
-    occupancy (rounded up to a multiple of 8 to stabilize compile shapes).
+def _window_cap(cell_starts: jnp.ndarray, dims_np: np.ndarray, n: int) -> int:
+    """Max total occupancy of any 3x3x3 cell window (device box-sum, host max)."""
+    counts = (cell_starts[1:] - cell_starts[:-1]).astype(jnp.int32)
+    dense = counts.reshape(int(dims_np[0]), int(dims_np[1]), int(dims_np[2]))
+    box = dense
+    for ax in range(3):
+        pad = [(1, 1) if a == ax else (0, 0) for a in range(3)]
+        p = jnp.pad(box, pad)
+        lo = [slice(0, -2) if a == ax else slice(None) for a in range(3)]
+        mid = [slice(1, -1) if a == ax else slice(None) for a in range(3)]
+        hi = [slice(2, None) if a == ax else slice(None) for a in range(3)]
+        box = p[tuple(lo)] + p[tuple(mid)] + p[tuple(hi)]
+    return min(int(jnp.max(box)), n)
+
+
+def build_grid(points, cell_size: float, extras=None) -> HashGrid:
+    """Host wrapper: builds the grid, fixes ``cell_cap`` to the true max cell
+    occupancy and ``window_cap`` to the true max 27-cell-window occupancy
+    (each rounded up to a multiple of 8 to stabilize compile shapes).
+
+    ``extras``: optional (N, F) per-point values (e.g. normals) carried along
+    in grid order — queries with ``with_values=True`` then return
+    ``[points | extras]`` rows for the selected neighbors at no extra gather.
+
     A dense cell-start lookup table is added when the cell count is moderate
-    (≤ max(8N, 2^24)); pathologically sparse grids fall back to binary search."""
+    (≤ max(8N, 2^24)); pathologically sparse grids fall back to binary search
+    over the 27 fixed cell slots."""
     out = _build_device(jnp.asarray(points, jnp.float32), jnp.float32(cell_size))
     pts_sorted, orig_idx, ids_sorted, origin, dims, size, max_occ = out
     cap = int(np.ceil(max(int(max_occ), 1) / 8) * 8)
@@ -97,60 +137,104 @@ def build_grid(points, cell_size: float) -> HashGrid:
         cell_starts = jnp.searchsorted(
             ids_sorted, jnp.arange(n_cells + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
+        wcap = int(np.ceil(max(_window_cap(cell_starts, dims_np, n), 1) / 8) * 8)
     else:
         cell_starts = jnp.zeros((1,), jnp.int32)
-    return HashGrid(pts_sorted, orig_idx, ids_sorted, origin, dims,
-                    jnp.asarray(cell_size, jnp.float32), cell_starts, cap, has_table)
+        wcap = 27 * cap
+    packed = pts_sorted
+    if extras is not None:
+        extras = jnp.asarray(extras, jnp.float32)
+        packed = jnp.concatenate([pts_sorted, extras[orig_idx]], axis=1)
+    return HashGrid(packed, orig_idx, ids_sorted, origin, dims,
+                    jnp.asarray(cell_size, jnp.float32), cell_starts, cap,
+                    has_table, wcap)
 
 
-def _candidate_slots(grid: HashGrid, queries: jnp.ndarray):
-    """(Qc, 27*cap) candidate positions into the sorted arrays + validity."""
-    cap = grid.cell_cap
+def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
+    """(start, end) rows in the sorted arrays for each query's 27 cells."""
     qcell = jnp.floor((queries - grid.origin) / grid.cell_size).astype(jnp.int32)
     cells = qcell[:, None, :] + _OFFSETS[None, :, :]  # (Qc, 27, 3)
     in_grid = jnp.all((cells >= 0) & (cells < grid.dims), axis=-1)
     linear = (cells[..., 0] * grid.dims[1] + cells[..., 1]) * grid.dims[2] + cells[..., 2]
-    linear = jnp.where(in_grid, linear, -1)
 
     if grid.has_table:
         safe = jnp.clip(linear, 0, grid.cell_starts.shape[0] - 2)
-        start = grid.cell_starts[safe]
-        end = grid.cell_starts[safe + 1]
-        empty = linear < 0
-        start = jnp.where(empty, 0, start)
-        end = jnp.where(empty, 0, end)
+        start = jnp.where(in_grid, grid.cell_starts[safe], 0)
+        end = jnp.where(in_grid, grid.cell_starts[safe + 1], 0)
     else:
+        linear = jnp.where(in_grid, linear, -1)
         start = jnp.searchsorted(grid.cell_ids_sorted, linear, side="left")
         end = jnp.searchsorted(grid.cell_ids_sorted, linear, side="right")
+        end = jnp.where(in_grid, end, start)
+    return start.astype(jnp.int32), end.astype(jnp.int32)
+
+
+def _compacted_slots(grid: HashGrid, queries: jnp.ndarray):
+    """(Qc, window_cap) candidate rows + validity: the 27 contiguous runs of
+    each query concatenated by pure index arithmetic (lane-friendly unrolled
+    run tests — no sort, no scatter, no (Q, C, 27) broadcast)."""
+    start, end = _cell_runs(grid, queries)            # (Qc, 27)
+    cnt = end - start
+    cum = jnp.cumsum(cnt, axis=1)                     # inclusive
+    excl = cum - cnt                                  # exclusive
+    total = cum[:, -1]
+    wc = grid.window_cap
+    j = jnp.arange(wc, dtype=jnp.int32)[None, :]      # (1, wc)
+    base = jnp.zeros((queries.shape[0], wc), jnp.int32)
+    for c in range(27):
+        inrun = (j >= excl[:, c:c + 1]) & (j < cum[:, c:c + 1])
+        base = base + inrun * (start[:, c:c + 1] - excl[:, c:c + 1])
+    slots = base + j
+    valid = j < total[:, None]
+    n = grid.packed_sorted.shape[0]
+    slots = jnp.where(valid, jnp.minimum(slots, n - 1), 0)
+    return slots, valid
+
+
+def _candidate_slots(grid: HashGrid, queries: jnp.ndarray):
+    """Fallback fixed layout (27 slots x cell_cap) for table-less grids."""
+    cap = grid.cell_cap
+    start, end = _cell_runs(grid, queries)            # (Qc, 27)
     slots = start[..., None] + jnp.arange(cap, dtype=jnp.int32)  # (Qc, 27, cap)
     valid = slots < end[..., None]
-    n = grid.points_sorted.shape[0]
+    n = grid.packed_sorted.shape[0]
     slots = jnp.where(valid, jnp.minimum(slots, n - 1), 0)
     qc = queries.shape[0]
     return slots.reshape(qc, -1), valid.reshape(qc, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "query_chunk", "approx"))
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "query_chunk", "approx", "with_values")
+)
 def grid_radius_search(
     grid: HashGrid, queries: jnp.ndarray, radius, k_max: int,
-    query_chunk: int = 1024, approx: bool = False,
-) -> Neighborhoods:
+    query_chunk: int = 512, approx: bool = False, with_values: bool = False,
+):
     """Radius search through the grid; same contract as
     ``neighbors.radius_search`` (requires ``cell_size >= radius``).
+
+    Returns ``Neighborhoods``, or ``(Neighborhoods, values)`` when
+    ``with_values=True`` — ``values`` is (Q, k_max, 3+F) gathered
+    ``[points | extras]`` rows for each neighbor (zeros where masked), taken
+    from the candidate buffer already in registers (no second HBM gather).
 
     Exact by default.  ``approx=True`` swaps the candidate ``top_k`` for the
     TPU-optimized ``approx_max_k`` (~95% recall on the k nearest): the
     neighborhood cap is already a truncation, so descriptor quality is
-    unaffected in practice while the selection cost drops ~9x.
+    unaffected in practice while the selection cost drops.
     """
     queries = jnp.asarray(queries, jnp.float32)
     q = queries.shape[0]
     r = jnp.asarray(radius, jnp.float32)
+    n_feat = grid.packed_sorted.shape[1]
 
     def one_chunk(qc):
-        slots, valid = _candidate_slots(grid, qc)  # (C, 27*cap)
-        cand_pts = grid.points_sorted[slots]
-        dist = jnp.linalg.norm(cand_pts - qc[:, None, :], axis=-1)
+        if grid.has_table:
+            slots, valid = _compacted_slots(grid, qc)  # (C, window_cap)
+        else:
+            slots, valid = _candidate_slots(grid, qc)  # (C, 27*cap)
+        cand = grid.packed_sorted[slots]               # (C, W, 3+F)
+        dist = jnp.linalg.norm(cand[..., :3] - qc[:, None, :], axis=-1)
         ok = valid & (dist <= r)
         masked = jnp.where(ok, dist, jnp.inf)
         k_eff = min(k_max, masked.shape[1])
@@ -161,23 +245,30 @@ def grid_radius_search(
         dist_k = -neg
         mask_k = jnp.isfinite(dist_k)
         idx_k = grid.orig_idx[jnp.take_along_axis(slots, pos, axis=1)]
+        vals_k = jnp.take_along_axis(cand, pos[..., None], axis=1)
+        vals_k = jnp.where(mask_k[..., None], vals_k, 0.0)
         if k_eff < k_max:
             pad = ((0, 0), (0, k_max - k_eff))
             idx_k = jnp.pad(idx_k, pad)
             dist_k = jnp.pad(dist_k, pad, constant_values=jnp.inf)
             mask_k = jnp.pad(mask_k, pad)
-        return (
+            vals_k = jnp.pad(vals_k, pad + ((0, 0),))
+        out = (
             jnp.where(mask_k, idx_k, 0).astype(jnp.int32),
             jnp.where(mask_k, dist_k, jnp.inf),
             mask_k,
         )
+        return out + (vals_k,) if with_values else out
 
     n_chunks = -(-q // query_chunk)
     padded = n_chunks * query_chunk
     qpad = jnp.pad(queries, ((0, padded - q), (0, 0)))
-    idx, dist, mask = jax.lax.map(one_chunk, qpad.reshape(n_chunks, query_chunk, 3))
+    out = jax.lax.map(one_chunk, qpad.reshape(n_chunks, query_chunk, 3))
     reshape = lambda x: x.reshape((padded,) + x.shape[2:])[:q]  # noqa: E731
-    return Neighborhoods(reshape(idx), reshape(dist), reshape(mask))
+    nbr = Neighborhoods(reshape(out[0]), reshape(out[1]), reshape(out[2]))
+    if with_values:
+        return nbr, reshape(out[3])
+    return nbr
 
 
 @functools.partial(jax.jit, static_argnames=("query_chunk",))
@@ -190,8 +281,11 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
     q = queries.shape[0]
 
     def one_chunk(qc):
-        slots, valid = _candidate_slots(grid, qc)
-        cand_pts = grid.points_sorted[slots]
+        if grid.has_table:
+            slots, valid = _compacted_slots(grid, qc)
+        else:
+            slots, valid = _candidate_slots(grid, qc)
+        cand_pts = grid.packed_sorted[slots][..., :3]
         dist = jnp.linalg.norm(cand_pts - qc[:, None, :], axis=-1)
         masked = jnp.where(valid, dist, jnp.inf)
         pos = jnp.argmin(masked, axis=-1)
@@ -207,7 +301,7 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
 
 
 # Auto-dispatch threshold: below this cloud size brute force wins (one matmul
-# beats build+gather); above it the 27-cell scan wins and scales.
+# beats build+gather); above it the compacted-candidate scan wins and scales.
 AUTO_GRID_MIN_POINTS = 20_000
 
 
@@ -220,6 +314,27 @@ def radius_search_auto(queries, points, radius, k_max: int) -> Neighborhoods:
         return radius_search(queries, points, radius, k_max)
     grid = build_grid(points, float(radius))
     return grid_radius_search(grid, jnp.asarray(queries, jnp.float32), radius, k_max)
+
+
+def radius_search_with_values_auto(
+    queries, points, extras, radius, k_max: int
+) -> tuple:
+    """Radius search returning ``(Neighborhoods, values)`` where ``values`` is
+    (Q, k_max, 3+F) gathered ``[points | extras]`` neighbor rows.  Large clouds
+    go through the grid engine where the gather is fused into the candidate
+    scan; small clouds brute-force then gather."""
+    from .neighbors import radius_search
+
+    points = jnp.asarray(points, jnp.float32)
+    queries = jnp.asarray(queries, jnp.float32)
+    extras = jnp.asarray(extras, jnp.float32)
+    if points.shape[0] < AUTO_GRID_MIN_POINTS:
+        nbr = radius_search(queries, points, radius, k_max)
+        packed = jnp.concatenate([points, extras], axis=1)
+        vals = jnp.where(nbr.mask[..., None], packed[nbr.idx], 0.0)
+        return nbr, vals
+    grid = build_grid(points, float(radius), extras=extras)
+    return grid_radius_search(grid, queries, radius, k_max, with_values=True)
 
 
 def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:

@@ -113,3 +113,37 @@ def test_grid_approx_recall(rng):
         if e:
             recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) > 0.9
+
+
+def test_grid_with_values_matches_gather(rng):
+    import numpy as np
+    pts = rng.normal(size=(300, 3)).astype(np.float32) * 2.0
+    extras = rng.normal(size=(300, 3)).astype(np.float32)
+    q = pts[:40]
+    grid = build_grid(pts, 0.7, extras=extras)
+    nbr, vals = grid_radius_search(grid, jnp.asarray(q), 0.7, 48, with_values=True)
+    m = np.asarray(nbr.mask)
+    got_pts = np.asarray(vals[..., :3])
+    got_ext = np.asarray(vals[..., 3:6])
+    want_pts = np.where(m[..., None], pts[np.asarray(nbr.idx)], 0.0)
+    want_ext = np.where(m[..., None], extras[np.asarray(nbr.idx)], 0.0)
+    assert np.allclose(got_pts, want_pts, atol=1e-6)
+    assert np.allclose(got_ext, want_ext, atol=1e-6)
+
+
+def test_window_cap_bounds_every_query(rng):
+    import numpy as np
+    # clustered cloud: one dense blob + sparse background stresses the
+    # window_cap bound (max 3x3x3 occupancy must cover blob-centered queries)
+    blob = rng.normal(size=(400, 3)).astype(np.float32) * 0.1
+    bg = rng.uniform(-4, 4, size=(200, 3)).astype(np.float32)
+    pts = np.concatenate([blob, bg])
+    grid = build_grid(pts, 0.5)
+    # queries everywhere, including off-grid
+    q = np.concatenate([pts[:50], np.array([[9.0, 9.0, 9.0]], np.float32)])
+    res = grid_radius_search(grid, jnp.asarray(q), 0.5, 600)
+    # oracle counts
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    want = (d <= 0.5).sum(axis=1)
+    got = np.asarray(res.mask.sum(axis=-1))
+    assert np.array_equal(got, want)
