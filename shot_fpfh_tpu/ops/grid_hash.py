@@ -42,6 +42,11 @@ _OFFSETS = np.array(
     dtype=np.int32,
 )  # (27, 3)
 
+_OFFSETS_XY = np.array(
+    [[dx, dy] for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int32
+)  # (9, 2) — the z-axis is linearized minor, so each (dx, dy) column of three
+# z-adjacent cells is ONE contiguous run in the sorted arrays
+
 
 @jax.tree_util.register_pytree_node_class
 class HashGrid:
@@ -169,11 +174,32 @@ def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
     return start.astype(jnp.int32), end.astype(jnp.int32)
 
 
+def _zcolumn_runs(grid: HashGrid, queries: jnp.ndarray):
+    """(start, end) rows for each query's 9 z-column runs (table path only).
+
+    The linear cell id is z-minor, so the three z-adjacent cells of each
+    (dx, dy) offset form one contiguous segment: start = cell_starts at
+    (x+dx, y+dy, max(z-1, 0)), end = cell_starts at (x+dx, y+dy,
+    min(z+1, dz-1) + 1)."""
+    qcell = jnp.floor((queries - grid.origin) / grid.cell_size).astype(jnp.int32)
+    xy = qcell[:, None, :2] + _OFFSETS_XY[None, :, :]  # (Qc, 9, 2)
+    in_grid = jnp.all((xy >= 0) & (xy < grid.dims[:2]), axis=-1)
+    z_lo = jnp.maximum(qcell[:, 2:3], 1) - 1           # (Qc, 1)
+    z_hi = jnp.minimum(qcell[:, 2:3] + 1, grid.dims[2] - 1)
+    in_grid = in_grid & (qcell[:, 2:3] >= -1) & (qcell[:, 2:3] <= grid.dims[2])
+    base = (xy[..., 0] * grid.dims[1] + xy[..., 1]) * grid.dims[2]
+    lo = jnp.clip(base + z_lo, 0, grid.cell_starts.shape[0] - 1)
+    hi = jnp.clip(base + z_hi + 1, 0, grid.cell_starts.shape[0] - 1)
+    start = jnp.where(in_grid, grid.cell_starts[lo], 0)
+    end = jnp.where(in_grid, grid.cell_starts[hi], 0)
+    return start.astype(jnp.int32), jnp.maximum(end, start).astype(jnp.int32)
+
+
 def _compacted_slots(grid: HashGrid, queries: jnp.ndarray):
-    """(Qc, window_cap) candidate rows + validity: the 27 contiguous runs of
-    each query concatenated by pure index arithmetic (lane-friendly unrolled
-    run tests — no sort, no scatter, no (Q, C, 27) broadcast)."""
-    start, end = _cell_runs(grid, queries)            # (Qc, 27)
+    """(Qc, window_cap) candidate rows + validity: the 9 contiguous z-column
+    runs of each query concatenated by pure index arithmetic (lane-friendly
+    unrolled run tests — no sort, no scatter, no (Q, C, 27) broadcast)."""
+    start, end = _zcolumn_runs(grid, queries)         # (Qc, 9)
     cnt = end - start
     cum = jnp.cumsum(cnt, axis=1)                     # inclusive
     excl = cum - cnt                                  # exclusive
@@ -181,7 +207,7 @@ def _compacted_slots(grid: HashGrid, queries: jnp.ndarray):
     wc = grid.window_cap
     j = jnp.arange(wc, dtype=jnp.int32)[None, :]      # (1, wc)
     base = jnp.zeros((queries.shape[0], wc), jnp.int32)
-    for c in range(27):
+    for c in range(9):
         inrun = (j >= excl[:, c:c + 1]) & (j < cum[:, c:c + 1])
         base = base + inrun * (start[:, c:c + 1] - excl[:, c:c + 1])
     slots = base + j
