@@ -141,7 +141,7 @@ def ring_match(
             return (b_next, bv_next, new_best, new_best_i, new_second), None
 
         qa = a_blk.shape[0]
-        vary = lambda x: jax.lax.pvary(x, (POINTS_AXIS,))  # noqa: E731
+        vary = lambda x: jax.lax.pcast(x, POINTS_AXIS, to="varying")  # noqa: E731
         init = (
             b_blk, bv_blk,
             vary(jnp.full((qa,), jnp.inf, jnp.float32)),
