@@ -25,12 +25,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_terrain(n: int, rng: np.random.Generator, scale: float = 10.0) -> np.ndarray:
+def make_terrain(
+    n: int, rng: np.random.Generator, scale: float = 10.0, n_bumps: int = 40
+) -> np.ndarray:
+    """Synthetic terrain: Gaussian bumps on a plane.  ``n_bumps`` sets the
+    feature density — scale it with the area so local geometry stays
+    distinctive (featureless surfaces make descriptor matching degenerate)."""
     xy = rng.uniform(-scale, scale, size=(n, 2))
     z = np.zeros(n)
-    centers = rng.uniform(-scale, scale, size=(40, 2))
-    heights = rng.uniform(-2.0, 2.0, size=40)
-    widths = rng.uniform(0.5, 2.5, size=40)
+    centers = rng.uniform(-scale, scale, size=(n_bumps, 2))
+    heights = rng.uniform(-2.0, 2.0, size=n_bumps)
+    widths = rng.uniform(0.5, 2.5, size=n_bumps) * (scale / 10.0) * (40 / n_bumps) ** 0.5
     for c, h, w in zip(centers, heights, widths):
         z += h * np.exp(-np.sum((xy - c) ** 2, axis=1) / (2 * w**2))
     pts = np.column_stack([xy, z]) + rng.normal(scale=0.01, size=(n, 3))

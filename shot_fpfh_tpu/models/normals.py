@@ -13,8 +13,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.eigh3 import pca_eigh
-from ..ops.grid_hash import knn_auto, radius_search_auto
+from ..ops.eigh3 import eigh3x3, pca_eigh
+from ..ops.grid_hash import (
+    AUTO_GRID_MIN_POINTS,
+    build_grid,
+    grid_radius_pca,
+    knn_auto,
+    radius_search_auto,
+)
 from ..ops.neighbors import knn, radius_search
 
 
@@ -65,7 +71,23 @@ def compute_normals(
     pre = None if pre_computed_normals is None else jnp.asarray(pre_computed_normals, jnp.float32)
     if k is not None:
         return _normals_knn(q, c, k, pre)
+    if c.shape[0] >= AUTO_GRID_MIN_POINTS:
+        # fused path: covariance reduced over the candidate window directly —
+        # no top-k / k_max cap, ALL in-radius neighbors contribute
+        grid = build_grid(c, float(radius))
+        cov, _, _ = grid_radius_pca(grid, q, radius)
+        return _normals_from_cov(cov, pre)
     return _normals_radius(q, c, radius, k_max, pre)
+
+
+@jax.jit
+def _normals_from_cov(cov, pre_computed_normals):
+    _, v = eigh3x3(cov)
+    normals = v[..., :, 0]
+    if pre_computed_normals is not None:
+        flip = jnp.sum(normals * pre_computed_normals, axis=-1) < 0
+        normals = jnp.where(flip[..., None], -normals, normals)
+    return normals
 
 
 @functools.partial(jax.jit, static_argnames=("k_max",))

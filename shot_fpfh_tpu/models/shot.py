@@ -287,12 +287,17 @@ class ShotComputer:
         min_neighborhood_size: int = 100,
         k_max: int = 512,
         verbose: bool = True,
+        pad_queries_to: int = 1024,
     ):
         self.normalize = normalize
         self.share_local_rfs = share_local_rfs
         self.min_neighborhood_size = min_neighborhood_size
         self.k_max = k_max
         self.verbose = verbose
+        # Shape bucketing: keypoint sets are padded to a multiple of this with
+        # a far-away sentinel (empty neighborhood -> zero descriptor), so
+        # scan/ref and successive pairs reuse one compiled program per bucket.
+        self.pad_queries_to = pad_queries_to
 
     def _support(self, point_cloud, normals, voxel_size):
         if voxel_size is None:
@@ -300,16 +305,26 @@ class ShotComputer:
         sel = grid_subsample(point_cloud, voxel_size)
         return np.asarray(point_cloud)[sel], np.asarray(normals)[sel]
 
+    def _pad(self, keypoints):
+        kp = np.asarray(keypoints, np.float32)
+        m = max(self.pad_queries_to, 1)
+        padded = ((len(kp) + m - 1) // m) * m
+        if padded == len(kp):
+            return kp, len(kp)
+        far = np.full((padded - len(kp), 3), 1.0e6, np.float32)
+        return np.concatenate([kp, far]), len(kp)
+
     def compute_descriptor_single_scale(
         self, point_cloud, normals, keypoints, radius, subsampling_voxel_size=None
     ):
         sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
+        kp, n_kp = self._pad(keypoints)
         desc, _ = compute_shot_descriptor(
-            keypoints, sup, nrm, radius,
+            kp, sup, nrm, radius,
             k_max=self.k_max, normalize=self.normalize,
             min_neighborhood_size=self.min_neighborhood_size,
         )
-        return desc
+        return desc[:n_kp]
 
     def compute_descriptor_bi_scale(
         self,
@@ -325,7 +340,8 @@ class ShotComputer:
         shot_parallelization.py:185-239 — including its guard-less second
         query, fixed here to respect ``subsampling_voxel_size=None``)."""
         sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
-        kp = jnp.asarray(keypoints, jnp.float32)
+        kp_np, n_kp = self._pad(keypoints)
+        kp = jnp.asarray(kp_np)
         supj = jnp.asarray(sup, jnp.float32)
         rf_nbr = radius_search(kp, supj, local_rf_radius, self.k_max)
         rfs = local_reference_frames(kp, supj[rf_nbr.idx], rf_nbr.mask, local_rf_radius)
@@ -334,7 +350,7 @@ class ShotComputer:
             k_max=self.k_max, normalize=self.normalize,
             min_neighborhood_size=self.min_neighborhood_size, local_rfs=rfs,
         )
-        return desc
+        return desc[:n_kp]
 
     def compute_descriptor_multiscale(
         self, point_cloud, normals, keypoints, radii, voxel_sizes=None, weights=None
@@ -346,11 +362,12 @@ class ShotComputer:
             weights = [1.0] * len(radii)
         descs = []
         shared_rfs = None
+        kp, n_kp = self._pad(keypoints)
         for scale, radius in enumerate(radii):
             voxel = None if voxel_sizes is None else voxel_sizes[scale]
             sup, nrm = self._support(point_cloud, normals, voxel)
             desc, rfs = compute_shot_descriptor(
-                keypoints, sup, nrm, radius,
+                kp, sup, nrm, radius,
                 k_max=self.k_max, normalize=self.normalize,
                 min_neighborhood_size=self.min_neighborhood_size,
                 local_rfs=shared_rfs,
@@ -358,4 +375,4 @@ class ShotComputer:
             if self.share_local_rfs and shared_rfs is None:
                 shared_rfs = rfs
             descs.append(desc * weights[scale])
-        return jnp.concatenate(descs, axis=1)
+        return jnp.concatenate(descs, axis=1)[:n_kp]

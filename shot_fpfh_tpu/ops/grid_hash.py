@@ -142,7 +142,19 @@ def build_grid(points, cell_size: float, extras=None) -> HashGrid:
         cell_starts = jnp.searchsorted(
             ids_sorted, jnp.arange(n_cells + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
-        wcap = int(np.ceil(max(_window_cap(cell_starts, dims_np, n), 1) / 8) * 8)
+        # round the static width up to a multiple of 64 — fewer distinct
+        # compile keys across clouds, negligible extra candidate padding
+        wcap = int(np.ceil(max(_window_cap(cell_starts, dims_np, n), 1) / 64) * 64)
+        wcap = min(wcap, int(np.ceil(n / 8) * 8))
+        # shape bucketing: pad the table length to the next power of two (the
+        # pad holds n = empty cells past the end) so clouds with slightly
+        # different extents/radii reuse compiled query programs
+        padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
+        if padded_len > n_cells + 1:
+            cell_starts = jnp.concatenate([
+                cell_starts,
+                jnp.full((padded_len - n_cells - 1,), n, jnp.int32),
+            ])
     else:
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = 27 * cap
@@ -326,6 +338,48 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
     return dist.reshape(-1)[:q], idx.reshape(-1)[:q]
 
 
+@functools.partial(jax.jit, static_argnames=("query_chunk",))
+def grid_radius_pca(
+    grid: HashGrid, queries: jnp.ndarray, radius, query_chunk: int = 512
+):
+    """Fused radius-neighborhood PCA: covariance/barycenter as masked
+    reductions over the candidate window — no top-k, no neighborhood
+    materialization, no k_max truncation (ALL in-radius points contribute,
+    unlike the fixed-k search path).
+
+    Numerics: moments accumulate on query-centered coordinates (|p - q| <=
+    radius), so f32 stays accurate for clouds far from the origin.
+
+    Returns ``(cov (Q, 3, 3), barycenter (Q, 3), count (Q,))`` with the
+    reference's normalization (sum of centered outer products / count).
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    q = queries.shape[0]
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def one_chunk(qc):
+        slots, valid = _compacted_slots(grid, qc)
+        cand = grid.packed_sorted[slots][..., :3]      # (C, W, 3)
+        diff = cand - qc[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        m = (valid & (d2 <= r2)).astype(jnp.float32)
+        count = jnp.sum(m, axis=-1)
+        z = diff * m[..., None]
+        mean_q = jnp.einsum("cwi->ci", z) / jnp.maximum(count, 1.0)[:, None]
+        second = jnp.einsum("cwi,cwj->cij", z, diff)
+        cov = second / jnp.maximum(count, 1.0)[:, None, None] - jnp.einsum(
+            "ci,cj->cij", mean_q, mean_q
+        )
+        return cov, mean_q + qc, count
+
+    n_chunks = -(-q // query_chunk)
+    padded = n_chunks * query_chunk
+    qpad = jnp.pad(queries, ((0, padded - q), (0, 0)))
+    cov, bary, count = jax.lax.map(one_chunk, qpad.reshape(n_chunks, query_chunk, 3))
+    reshape = lambda x: x.reshape((padded,) + x.shape[2:])[:q]  # noqa: E731
+    return reshape(cov), reshape(bary), reshape(count)
+
+
 # Auto-dispatch threshold: below this cloud size brute force wins (one matmul
 # beats build+gather); above it the compacted-candidate scan wins and scales.
 AUTO_GRID_MIN_POINTS = 20_000
@@ -379,7 +433,12 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
 
     stride = max(1, n // sample_size)
     sample = points[::stride][:sample_size]
-    kth = knn(sample, points, k).dist[:, -1]
-    radius = 2.0 * float(jnp.max(kth))
+    kth = np.asarray(knn(sample, points, k).dist[:, -1])
+    # 1.5x the 99th-percentile sampled k-th distance bounds the k-th neighbor
+    # for all but extreme-outlier queries (max-based bounds blow the window up
+    # on a single sparse sample); quantize the radius to a 1.25-geometric grid
+    # so repeated similar clouds reuse compiled query programs.
+    raw = 1.5 * float(np.quantile(kth, 0.99))
+    radius = float(1.25 ** np.ceil(np.log(max(raw, 1e-12)) / np.log(1.25)))
     grid = build_grid(points, radius)
     return grid_radius_search(grid, queries, radius, k)

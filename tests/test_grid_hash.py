@@ -147,3 +147,21 @@ def test_window_cap_bounds_every_query(rng):
     want = (d <= 0.5).sum(axis=1)
     got = np.asarray(res.mask.sum(axis=-1))
     assert np.array_equal(got, want)
+
+
+def test_grid_radius_pca_matches_bruteforce(rng):
+    import numpy as np
+    from shot_fpfh_tpu.ops.grid_hash import grid_radius_pca
+    pts = (rng.normal(size=(500, 3)) * 2.0 + 100.0).astype(np.float32)  # offset
+    q = pts[:30]
+    radius = 0.9
+    grid = build_grid(pts, radius)
+    cov, bary, count = grid_radius_pca(grid, jnp.asarray(q), radius)
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    for i in range(len(q)):
+        nb = pts[d[i] <= radius].astype(np.float64)
+        assert int(count[i]) == len(nb)
+        b = nb.mean(axis=0)
+        c_ref = (nb - b).T @ (nb - b) / len(nb)
+        assert np.allclose(np.asarray(bary[i]), b, atol=1e-4)
+        assert np.allclose(np.asarray(cov[i]), c_ref, atol=1e-4)
