@@ -73,9 +73,16 @@ def compute_normals(
         return _normals_knn(q, c, k, pre)
     if c.shape[0] >= AUTO_GRID_MIN_POINTS:
         # fused path: covariance reduced over the candidate window directly —
-        # no top-k / k_max cap, ALL in-radius neighbors contribute
+        # no top-k / k_max cap, ALL in-radius neighbors contribute.  On TPU
+        # the Pallas run-DMA kernel streams candidates ~4x faster than the
+        # XLA gather formulation (measured at 1M points).
+        from ..ops.pallas_radius import _on_tpu, radius_pca_pallas
+
         grid = build_grid(c, float(radius))
-        cov, _, _ = grid_radius_pca(grid, q, radius)
+        if _on_tpu():
+            cov, _, _ = radius_pca_pallas(grid, q, radius)
+        else:
+            cov, _, _ = grid_radius_pca(grid, q, radius)
         return _normals_from_cov(cov, pre)
     return _normals_radius(q, c, radius, k_max, pre)
 

@@ -61,7 +61,7 @@ class HashGrid:
 
     def __init__(self, packed_sorted, orig_idx, cell_ids_sorted, origin, dims,
                  cell_size, cell_starts, cell_cap: int, has_table: bool,
-                 window_cap: int):
+                 window_cap: int, col_cap: int = 0):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -72,6 +72,7 @@ class HashGrid:
         self.cell_cap = cell_cap            # static: max points per cell
         self.has_table = has_table          # static
         self.window_cap = window_cap        # static: max points per 3x3x3 window
+        self.col_cap = col_cap              # static: max points per 3-z-column
 
     @property
     def points_sorted(self):
@@ -80,11 +81,12 @@ class HashGrid:
     def tree_flatten(self):
         children = (self.packed_sorted, self.orig_idx, self.cell_ids_sorted,
                     self.origin, self.dims, self.cell_size, self.cell_starts)
-        return children, (self.cell_cap, self.has_table, self.window_cap)
+        return children, (self.cell_cap, self.has_table, self.window_cap,
+                          self.col_cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1], aux[2])
+        return cls(*children, *aux)
 
 
 @jax.jit
@@ -104,19 +106,24 @@ def _build_device(points: jnp.ndarray, cell_size):
     return pts[orig_idx], orig_idx, ids_sorted, origin, dims, cell_size, jnp.max(counts)
 
 
-def _window_cap(cell_starts: jnp.ndarray, dims_np: np.ndarray, n: int) -> int:
-    """Max total occupancy of any 3x3x3 cell window (device box-sum, host max)."""
+def _window_caps(cell_starts: jnp.ndarray, dims_np: np.ndarray, n: int):
+    """(max 3x3x3-window occupancy, max 3-z-column occupancy) — device
+    box-sums, host max.  The first sizes the compacted candidate width; the
+    second sizes the Pallas run-DMA tile count."""
     counts = (cell_starts[1:] - cell_starts[:-1]).astype(jnp.int32)
     dense = counts.reshape(int(dims_np[0]), int(dims_np[1]), int(dims_np[2]))
     box = dense
-    for ax in range(3):
+    col = None
+    for ax in (2, 1, 0):  # z first so the column max falls out on the way
         pad = [(1, 1) if a == ax else (0, 0) for a in range(3)]
         p = jnp.pad(box, pad)
         lo = [slice(0, -2) if a == ax else slice(None) for a in range(3)]
         mid = [slice(1, -1) if a == ax else slice(None) for a in range(3)]
         hi = [slice(2, None) if a == ax else slice(None) for a in range(3)]
         box = p[tuple(lo)] + p[tuple(mid)] + p[tuple(hi)]
-    return min(int(jnp.max(box)), n)
+        if ax == 2:
+            col = jnp.max(box)
+    return min(int(jnp.max(box)), n), min(int(col), n)
 
 
 def build_grid(points, cell_size: float, extras=None) -> HashGrid:
@@ -144,8 +151,10 @@ def build_grid(points, cell_size: float, extras=None) -> HashGrid:
         ).astype(jnp.int32)
         # round the static width up to a multiple of 64 — fewer distinct
         # compile keys across clouds, negligible extra candidate padding
-        wcap = int(np.ceil(max(_window_cap(cell_starts, dims_np, n), 1) / 64) * 64)
+        wcap_raw, col_raw = _window_caps(cell_starts, dims_np, n)
+        wcap = int(np.ceil(max(wcap_raw, 1) / 64) * 64)
         wcap = min(wcap, int(np.ceil(n / 8) * 8))
+        col_cap = int(np.ceil(max(col_raw, 1) / 64) * 64)
         # shape bucketing: pad the table length to the next power of two (the
         # pad holds n = empty cells past the end) so clouds with slightly
         # different extents/radii reuse compiled query programs
@@ -158,13 +167,14 @@ def build_grid(points, cell_size: float, extras=None) -> HashGrid:
     else:
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = 27 * cap
+        col_cap = 3 * cap
     packed = pts_sorted
     if extras is not None:
         extras = jnp.asarray(extras, jnp.float32)
         packed = jnp.concatenate([pts_sorted, extras[orig_idx]], axis=1)
     return HashGrid(packed, orig_idx, ids_sorted, origin, dims,
                     jnp.asarray(cell_size, jnp.float32), cell_starts, cap,
-                    has_table, wcap)
+                    has_table, wcap, col_cap)
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):

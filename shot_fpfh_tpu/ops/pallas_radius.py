@@ -1,0 +1,213 @@
+"""Pallas fused radius-reduction kernels: run-DMA candidate streaming.
+
+XLA's gather lowers each candidate row to its own access — measured
+row-count-bound at ~0.3M rows/ms regardless of row width, which makes the
+candidate gather the dominant cost of every neighbor-dependent stage.  But
+grid candidates are not random rows: each query's 27-cell window is 9
+CONTIGUOUS z-column runs of the cell-sorted cloud (grid_hash layout).  These
+kernels DMA those runs directly from a tile-chunked HBM table into VMEM
+(measured ~70x the gather's effective row rate) and reduce them in place —
+no top-k, no k_max truncation, no neighborhood materialization.
+
+Layouts
+-------
+- Table: ``(n_tiles, 8, 128)`` f32 — row ``r`` of the packed cell-sorted
+  cloud lives at ``[r // 128, :, r % 128]``; sublanes are the packed features
+  ``[x, y, z, nx, ny, nz, 0, 0]``.  A run of rows is a dim-0 slice, which
+  Mosaic DMAs at any offset (lane/sublane dims stay full tiles).
+- Runs: per query 9 x (tile_start, start_off, end_off) int32 in a
+  ``(blocks, QB, 32)`` array (offsets relative to ``tile_start * 128``);
+  query positions ride in a parallel f32 array.  The kernel copies its
+  blocks into SMEM and reads scalars from there (DMA addresses and broadcast
+  scalars must come from SMEM — Mosaic cannot bitcast an SMEM scalar).
+- Scratch: ``(QB, run_tiles, 8, 9 * 128)`` — run j's tiles land in lane
+  segment ``[128 j, 128 (j + 1))``, so ONE vector op processes all nine runs
+  of a query (the per-run (1, 128) formulation was issue-bound: ~9x more
+  vector instructions for the same FLOPs).
+
+The kernel processes ``QB`` queries per grid step: issues all 9*QB run DMAs
+up front (maximum overlap), waits, then reduces each query's fused tile rows
+with masked VPU ops — validity = lane row in [start, end), plus the exact
+radius test.
+
+``interpret=True`` (automatic off-TPU) runs the same kernel through the
+Pallas interpreter so CPU tests validate semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_hash import HashGrid, _zcolumn_runs
+
+TILE = 128
+RUNS = 9
+LANES = RUNS * TILE  # 1152
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("n_feat",))
+def tile_table(packed: jnp.ndarray, n_feat: int = 8) -> jnp.ndarray:
+    """Pack ``(N, F)`` rows into the ``(n_tiles, 8, TILE)`` DMA layout."""
+    n, f = packed.shape
+    nt = -(-n // TILE)
+    out = jnp.zeros((nt * TILE, n_feat), jnp.float32)
+    out = out.at[:n, :f].set(packed.astype(jnp.float32))
+    return out.reshape(nt, TILE, n_feat).transpose(0, 2, 1)
+
+
+def _pack_runs(grid: HashGrid, queries: jnp.ndarray, qb: int, run_tiles: int):
+    """Returns (runs (blocks, QB, 32) int32, qpos (blocks, QB, 32) f32):
+    runs lanes [3j..3j+2] = (tile_start, start_off, end_off); qpos lanes
+    0..2 = query xyz.  (Both padded to 128 lanes for Mosaic.)"""
+    q = queries.shape[0]
+    blocks = -(-q // qb)
+    start, end = _zcolumn_runs(grid, queries)            # (Q, 9)
+    nt = -(-grid.packed_sorted.shape[0] // TILE)
+    t = jnp.clip(start // TILE, 0, max(nt - run_tiles, 0))
+    cols = [jnp.zeros((q,), jnp.int32)] * 32
+    for j in range(RUNS):
+        cols[3 * j] = t[:, j]
+        cols[3 * j + 1] = start[:, j] - t[:, j] * TILE
+        cols[3 * j + 2] = end[:, j] - t[:, j] * TILE
+    # 128-lane layout: Mosaic only lowers VMEM blocks whose lane dim is a
+    # full 128 tile (a 32-lane block fails memref slicing)
+    lanes = jnp.pad(jnp.stack(cols, axis=1), ((0, 0), (0, 96)))
+    qpos = jnp.concatenate(
+        [queries.astype(jnp.float32), jnp.zeros((q, 125), jnp.float32)], axis=1
+    )
+    pad = blocks * qb - q
+    return (jnp.pad(lanes, ((0, pad), (0, 0))).reshape(blocks, qb, 128),
+            jnp.pad(qpos, ((0, pad), (0, 0))).reshape(blocks, qb, 128))
+
+
+def _pca_kernel(run_tiles, qb, r2, runs_ref, qpos_ref, table_ref, out_ref,
+                scratch, sems, smem, smem_q, smem_sem):
+    """Accumulates count / Σdiff / Σdiff⊗diff per query (diff = p - q)."""
+    cp = pltpu.make_async_copy(runs_ref.at[0], smem, smem_sem)
+    cp.start()
+    cp.wait()
+    cq = pltpu.make_async_copy(qpos_ref.at[0], smem_q, smem_sem)
+    cq.start()
+    cq.wait()
+
+    def dma(q, j):
+        # one semaphore per query shared by its 9 run copies (the sflag space
+        # caps total semaphores; per-copy sems overflow it at qb=64)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(smem[q, 3 * j], run_tiles)],
+            scratch.at[q, :, :, pl.ds(j * TILE, TILE)],
+            sems.at[q],
+        )
+
+    for q in range(qb):
+        for j in range(RUNS):
+            dma(q, j).start()
+    for q in range(qb):
+        for j in range(RUNS):
+            dma(q, j).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % TILE
+    for q in range(qb):
+        qx = smem_q[q, 0]
+        qy = smem_q[q, 1]
+        qz = smem_q[q, 2]
+        # per-run [start, end) offsets broadcast into their lane segments
+        seg_s = jnp.concatenate(
+            [jnp.full((1, TILE), smem[q, 3 * j + 1], jnp.int32)
+             for j in range(RUNS)], axis=1)
+        seg_e = jnp.concatenate(
+            [jnp.full((1, TILE), smem[q, 3 * j + 2], jnp.int32)
+             for j in range(RUNS)], axis=1)
+        acc = jnp.zeros((16, LANES), jnp.float32)
+        for u in range(run_tiles):
+            tile = scratch[q, u]                         # (8, LANES)
+            row = lane + u * TILE                        # offset within run
+            dx = tile[0:1, :] - qx
+            dy = tile[1:2, :] - qy
+            dz = tile[2:3, :] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            m = ((row >= seg_s) & (row < seg_e) & (d2 <= r2)).astype(jnp.float32)
+            acc = acc + jnp.concatenate([
+                m, m * dx, m * dy, m * dz,
+                m * dx * dx, m * dy * dy, m * dz * dz,
+                m * dx * dy, m * dx * dz, m * dy * dz,
+                jnp.zeros((6, LANES), jnp.float32),
+            ], axis=0)
+        out_ref[0, q, :] = jnp.sum(acc, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r2", "run_tiles", "qb", "interpret")
+)
+def _pca_call(runs, qpos, table, r2: float, run_tiles: int, qb: int,
+              interpret: bool):
+    blocks = runs.shape[0]
+    kernel = functools.partial(_pca_kernel, run_tiles, qb, r2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((blocks, qb, 16), jnp.float32),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, qb, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, qb, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((qb, run_tiles, 8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((qb,)),
+            pltpu.SMEM((qb, 128), jnp.int32),
+            pltpu.SMEM((qb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(runs, qpos, table)
+
+
+def radius_pca_pallas(
+    grid: HashGrid, queries, radius, qb: int = 32
+):
+    """Fused radius-neighborhood PCA via run-DMA streaming — the Pallas
+    counterpart of ``grid_hash.grid_radius_pca`` (same contract: covariance
+    with the reference's centered/count normalization, barycenter, count; ALL
+    in-radius points contribute, no k cap).
+    """
+    if not grid.has_table:
+        from .grid_hash import grid_radius_pca
+
+        return grid_radius_pca(grid, queries, radius)
+    queries = jnp.asarray(queries, jnp.float32)
+    q = queries.shape[0]
+    run_tiles = min(
+        -(-int(grid.col_cap) // TILE) + 1,
+        -(-grid.packed_sorted.shape[0] // TILE),
+    )
+    table = tile_table(grid.packed_sorted[:, :3], 8)
+    runs, qpos = _pack_runs(grid, queries, qb, run_tiles)
+    out = _pca_call(runs, qpos, table, float(radius) ** 2, run_tiles, qb,
+                    interpret=not _on_tpu())
+    out = out.reshape(-1, 16)[:q]
+    count = out[:, 0]
+    safe = jnp.maximum(count, 1.0)
+    mean = out[:, 1:4] / safe[:, None]                    # E[p - q]
+    xx, yy, zz, xy, xz, yz = (out[:, 4 + i] / safe for i in range(6))
+    second = jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1),
+    ], -2)
+    cov = second - jnp.einsum("qi,qj->qij", mean, mean)
+    bary = mean + queries
+    return cov, bary, count

@@ -1,0 +1,37 @@
+"""Pallas run-DMA radius kernels vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
+from shot_fpfh_tpu.ops.pallas_radius import radius_pca_pallas
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def test_radius_pca_pallas_matches_xla(rng):
+    pts = (rng.normal(size=(600, 3)) * 2.0).astype(np.float32)
+    q = pts[:70]
+    radius = 0.8
+    grid = build_grid(pts, radius)
+    cov_x, bary_x, cnt_x = grid_radius_pca(grid, jnp.asarray(q), radius)
+    cov_p, bary_p, cnt_p = radius_pca_pallas(grid, jnp.asarray(q), radius, qb=8)
+    assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
+    assert np.allclose(np.asarray(bary_x), np.asarray(bary_p), atol=1e-5)
+    assert np.allclose(np.asarray(cov_x), np.asarray(cov_p), atol=1e-5)
+
+
+def test_radius_pca_pallas_empty_and_edge(rng):
+    pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    far = np.array([[50.0, 50.0, 50.0]], np.float32)  # off-grid query
+    q = np.concatenate([pts[:10], far])
+    grid = build_grid(pts, 0.5)
+    cov, bary, cnt = radius_pca_pallas(grid, jnp.asarray(q), 0.5, qb=8)
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    want = (d <= 0.5).sum(axis=1)
+    assert np.array_equal(np.asarray(cnt).astype(int), want)
+    assert int(cnt[-1]) == 0
