@@ -211,3 +211,170 @@ def radius_pca_pallas(
     cov = second - jnp.einsum("qi,qj->qij", mean, mean)
     bary = mean + queries
     return cov, bary, count
+
+
+def _dist_kernel(run_tiles, qb, r2, runs_ref, qpos_ref, table_ref, out_ref,
+                 scratch, sems, smem, smem_q, smem_sem):
+    """Masked candidate distances: out[q, j*RT*128 + u*128 + lane] = d or inf.
+
+    The caller reconstructs candidate slots from the run table
+    (slot = tile_start_j * 128 + u * 128 + lane), so distances are the only
+    kernel output; selection (top-k) and the k-row value gather stay in XLA
+    where they are already efficient.
+    """
+    cp = pltpu.make_async_copy(runs_ref.at[0], smem, smem_sem)
+    cp.start()
+    cp.wait()
+    cq = pltpu.make_async_copy(qpos_ref.at[0], smem_q, smem_sem)
+    cq.start()
+    cq.wait()
+
+    def dma(q, j):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(smem[q, 3 * j], run_tiles)],
+            scratch.at[q, :, :, pl.ds(j * TILE, TILE)],
+            sems.at[q],
+        )
+
+    for q in range(qb):
+        for j in range(RUNS):
+            dma(q, j).start()
+    for q in range(qb):
+        for j in range(RUNS):
+            dma(q, j).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % TILE
+    inf = jnp.float32(jnp.inf)
+    for q in range(qb):
+        qx, qy, qz = smem_q[q, 0], smem_q[q, 1], smem_q[q, 2]
+        seg_s = jnp.concatenate(
+            [jnp.full((1, TILE), smem[q, 3 * j + 1], jnp.int32)
+             for j in range(RUNS)], axis=1)
+        seg_e = jnp.concatenate(
+            [jnp.full((1, TILE), smem[q, 3 * j + 2], jnp.int32)
+             for j in range(RUNS)], axis=1)
+        for u in range(run_tiles):
+            tile = scratch[q, u]
+            row = lane + u * TILE
+            dx = tile[0:1, :] - qx
+            dy = tile[1:2, :] - qy
+            dz = tile[2:3, :] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            d = jnp.sqrt(d2)
+            ok = (row >= seg_s) & (row < seg_e) & (d2 <= r2)
+            out_ref[0, q, u, :] = jnp.where(ok, d, inf)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r2", "run_tiles", "qb", "interpret")
+)
+def _dist_call(runs, qpos, table, r2: float, run_tiles: int, qb: int,
+               interpret: bool):
+    blocks = runs.shape[0]
+    kernel = functools.partial(_dist_kernel, run_tiles, qb, r2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((blocks, qb, run_tiles, LANES),
+                                       jnp.float32),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, qb, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, qb, run_tiles, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((qb, run_tiles, 8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((qb,)),
+            pltpu.SMEM((qb, 128), jnp.int32),
+            pltpu.SMEM((qb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(runs, qpos, table)
+
+
+def grid_radius_search_pallas(
+    grid: HashGrid, queries, radius, k_max: int,
+    qb: int = 32, with_values: bool = False,
+):
+    """Hybrid radius search: Pallas streams candidate distances (run-DMA),
+    XLA selects the k_max nearest and gathers values — same contract as
+    ``grid_hash.grid_radius_search``.
+
+    The division of labor follows the measurements: candidate loading is
+    ~10x faster through run DMA than through XLA's row gather, while top-k
+    and the final k-row gather are already efficient in XLA.
+
+    Measured (TPU v5e, 4096 queries / 50k cloud / k=256): ~26 ms vs ~23 ms
+    for the XLA compacted search — the wider un-compacted candidate buffer
+    (run_tiles*9*128 vs window_cap) costs back in top-k what the DMA saves,
+    so this path is an alternative, not the default.  It wins when
+    window_cap is close to the padded width (deep 3D clouds).
+    """
+    from .grid_hash import grid_radius_search
+
+    if not grid.has_table:
+        return grid_radius_search(grid, queries, radius, k_max,
+                                  with_values=with_values)
+    queries = jnp.asarray(queries, jnp.float32)
+    q = queries.shape[0]
+    run_tiles = min(
+        -(-int(grid.col_cap) // TILE) + 1,
+        -(-grid.packed_sorted.shape[0] // TILE),
+    )
+    table = tile_table(grid.packed_sorted, 8)
+    runs, qpos = _pack_runs(grid, queries, qb, run_tiles)
+    dists = _dist_call(runs, qpos, table, float(radius) ** 2, run_tiles, qb,
+                       interpret=not _on_tpu())
+    return _select_k(grid, runs, dists, queries, k_max, run_tiles,
+                     with_values)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max", "run_tiles",
+                                              "with_values"))
+def _select_k(grid, runs, dists, queries, k_max: int, run_tiles: int,
+              with_values: bool):
+    from .neighbors import Neighborhoods
+
+    q = queries.shape[0]
+    blocks, qb = runs.shape[0], runs.shape[1]
+    w = run_tiles * LANES
+    # kernel layout (b, q, u, j*128+lane) -> (q, j, u, lane) so candidates
+    # group per run, matching the slot arithmetic below
+    d = dists.reshape(blocks, qb, run_tiles, RUNS, TILE)
+    d = d.transpose(0, 1, 3, 2, 4).reshape(-1, w)[:q]
+    # candidate slot for (run j, tile u, lane l) = tile_start_j*128 + u*128 + l
+    t = runs.reshape(-1, 128)[:q, 0:RUNS * 3:3]       # (Q, 9) tile starts
+    base = jnp.repeat(t * TILE, run_tiles * TILE, axis=1)
+    off = jnp.tile(
+        jnp.arange(run_tiles * TILE, dtype=jnp.int32)[None, :], (1, RUNS))
+    slots = base + off                                 # (Q, 9*RT*128)
+    k_eff = min(k_max, w)
+    neg, pos = jax.lax.top_k(-d, k_eff)
+    dist_k = -neg
+    mask_k = jnp.isfinite(dist_k)
+    slot_k = jnp.take_along_axis(slots, pos, axis=1)
+    slot_k = jnp.where(mask_k, slot_k, 0)
+    idx_k = grid.orig_idx[jnp.where(mask_k, jnp.minimum(
+        slot_k, grid.orig_idx.shape[0] - 1), 0)]
+    if k_eff < k_max:
+        pad = ((0, 0), (0, k_max - k_eff))
+        idx_k = jnp.pad(idx_k, pad)
+        dist_k = jnp.pad(dist_k, pad, constant_values=jnp.inf)
+        mask_k = jnp.pad(mask_k, pad)
+        slot_k = jnp.pad(slot_k, pad)
+    nbr = Neighborhoods(
+        jnp.where(mask_k, idx_k, 0).astype(jnp.int32),
+        jnp.where(mask_k, dist_k, jnp.inf),
+        mask_k,
+    )
+    if with_values:
+        safe = jnp.minimum(slot_k, grid.packed_sorted.shape[0] - 1)
+        vals = jnp.where(mask_k[..., None], grid.packed_sorted[safe], 0.0)
+        return nbr, vals
+    return nbr

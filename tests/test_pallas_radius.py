@@ -35,3 +35,24 @@ def test_radius_pca_pallas_empty_and_edge(rng):
     want = (d <= 0.5).sum(axis=1)
     assert np.array_equal(np.asarray(cnt).astype(int), want)
     assert int(cnt[-1]) == 0
+
+
+def test_hybrid_search_matches_xla(rng):
+    from shot_fpfh_tpu.ops.grid_hash import grid_radius_search
+    from shot_fpfh_tpu.ops.pallas_radius import grid_radius_search_pallas
+    pts = (rng.normal(size=(500, 3)) * 2.0).astype(np.float32)
+    extras = rng.normal(size=(500, 3)).astype(np.float32)
+    q = pts[:50]
+    radius = 0.8
+    grid = build_grid(pts, radius, extras=extras)
+    a, va = grid_radius_search(grid, jnp.asarray(q), radius, 64, with_values=True)
+    b, vb = grid_radius_search_pallas(grid, jnp.asarray(q), radius, 64,
+                                      qb=8, with_values=True)
+    da = np.sort(np.where(np.asarray(a.mask), np.asarray(a.dist), 1e9), axis=1)
+    db = np.sort(np.where(np.asarray(b.mask), np.asarray(b.dist), 1e9), axis=1)
+    assert np.allclose(da, db, atol=1e-5)
+    assert np.array_equal(np.asarray(a.mask).sum(1), np.asarray(b.mask).sum(1))
+    # value sets match (sort rows by distance then compare sums)
+    sa = np.asarray(va).sum(axis=1)
+    sb = np.asarray(vb).sum(axis=1)
+    assert np.allclose(sa, sb, atol=1e-3)
