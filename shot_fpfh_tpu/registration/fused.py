@@ -30,6 +30,7 @@ import numpy as np
 from ..core.solvers import solve_point_to_plane, solve_point_to_point
 from ..core.transform import RigidTransform
 from ..models.shot import local_reference_frames, shot_from_neighborhoods
+from ..ops.grid_hash import grid_nearest_neighbor, grid_radius_search
 from ..ops.neighbors import nearest_neighbor, radius_search
 from .matching import descriptor_sq_dists
 
@@ -43,13 +44,20 @@ class FusedResult(NamedTuple):
     icp_converged: jnp.ndarray
 
 
-def _shot(kp, valid, sup, nrm, radius, k_max, min_nb):
-    nbr = radius_search(kp, sup, radius, k_max)
-    mask = nbr.mask & valid[:, None]
-    nb_pts = sup[nbr.idx]
+def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None):
+    if grid is not None:
+        # grid path: compacted candidate scan + fused [points | normals]
+        # value gather (requires the grid built with extras=normals)
+        nbr, vals = grid_radius_search(grid, kp, radius, k_max, with_values=True)
+        mask = nbr.mask & valid[:, None]
+        nb_pts, nb_nrm = vals[..., :3], vals[..., 3:6]
+    else:
+        nbr = radius_search(kp, sup, radius, k_max)
+        mask = nbr.mask & valid[:, None]
+        nb_pts, nb_nrm = sup[nbr.idx], nrm[nbr.idx]
     rfs = local_reference_frames(kp, nb_pts, mask, radius)
     return shot_from_neighborhoods(
-        kp, nb_pts, nrm[nbr.idx], mask, rfs, radius,
+        kp, nb_pts, nb_nrm, mask, rfs, radius,
         normalize=True, min_neighborhood_size=min_nb,
     )
 
@@ -85,12 +93,15 @@ def fused_registration(
     draw_size: int = 4,
     max_iter: int = 40,
     point_to_plane: bool = True,
+    scan_grid=None,
+    ref_grid=None,
+    ref_icp_grid=None,
 ) -> FusedResult:
     # ---- descriptors ------------------------------------------------------
     scan_desc = _shot(scan_kp, scan_kp_valid, scan_support, scan_normals,
-                      radius, k_max, min_neighborhood_size)
+                      radius, k_max, min_neighborhood_size, grid=scan_grid)
     ref_desc = _shot(ref_kp, ref_kp_valid, ref_support, ref_normals,
-                     radius, k_max, min_neighborhood_size)
+                     radius, k_max, min_neighborhood_size, grid=ref_grid)
 
     # ---- ratio matching ---------------------------------------------------
     ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
@@ -143,7 +154,12 @@ def fused_registration(
     def body(state):
         i, rot, t, _rms, _done = state
         moved = scan_sub @ rot.T + t
-        dist, nn = nearest_neighbor(moved, ref_support)
+        if ref_icp_grid is not None:
+            # exact when d_max <= the ICP grid's cell size (see
+            # grid_nearest_neighbor); register_pair builds it that way
+            dist, nn = grid_nearest_neighbor(ref_icp_grid, moved)
+        else:
+            dist, nn = nearest_neighbor(moved, ref_support)
         w = (dist <= d_max).astype(jnp.float32) * sub_w_base
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         target = ref_support[nn]
@@ -189,8 +205,13 @@ def register_pair(
     **fused_kwargs,
 ) -> FusedResult:
     """Host-facing wrapper: keypoint selection + ICP subsampling on device
-    (dynamic sizes), padding to stable buckets, then the single fused program."""
+    (dynamic sizes), padding to stable buckets, then the single fused program.
+
+    Above ``AUTO_GRID_MIN_POINTS`` the support clouds get grid-hash engines
+    (descriptor search + ICP 1-NN) so the fused program scales to ~1M-point
+    clouds on one chip."""
     from ..core.subsampling import grid_subsample
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
     if key is None:
         key = jax.random.key(72)
@@ -209,11 +230,21 @@ def register_pair(
     ref_kp, ref_kp_valid = pad(ref32[grid_subsample(ref32, keypoint_voxel)], pad_multiple)
     scan_sub, scan_sub_valid = pad(scan32[grid_subsample(scan32, icp_voxel)], pad_multiple)
 
+    grids = {}
+    if len(scan32) >= AUTO_GRID_MIN_POINTS:
+        grids["scan_grid"] = build_grid(scan32, radius,
+                                        extras=np.asarray(scan_normals, np.float32))
+    if len(ref32) >= AUTO_GRID_MIN_POINTS:
+        grids["ref_grid"] = build_grid(ref32, radius,
+                                       extras=np.asarray(ref_normals, np.float32))
+        d_max = fused_kwargs.get("d_max", 0.3)
+        grids["ref_icp_grid"] = build_grid(ref32, float(d_max))
+
     return fused_registration(
         jnp.asarray(scan_kp), jnp.asarray(scan_kp_valid),
         jnp.asarray(ref_kp), jnp.asarray(ref_kp_valid),
         jnp.asarray(scan32), jnp.asarray(scan_normals, jnp.float32),
         jnp.asarray(ref32), jnp.asarray(ref_normals, jnp.float32),
         jnp.asarray(scan_sub), jnp.asarray(scan_sub_valid),
-        key, radius=radius, **fused_kwargs,
+        key, radius=radius, **grids, **fused_kwargs,
     )

@@ -45,3 +45,39 @@ def test_fused_is_single_program(rng):
     )
     text = lowered.as_text()
     assert "while" in text  # the ICP loop is inside the single program
+
+
+def test_fused_registration_grid_path_matches_brute():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from shot_fpfh_tpu.ops.grid_hash import build_grid
+    from shot_fpfh_tpu.registration.fused import fused_registration
+
+    rng = np.random.default_rng(5)
+    xy = rng.uniform(-3, 3, size=(600, 2))
+    z = 0.5 * np.sin(1.5 * xy[:, 0]) * np.cos(1.1 * xy[:, 1])
+    ref = np.column_stack([xy, z]).astype(np.float32)
+    nrm = rng.normal(size=(600, 3)); nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm.astype(np.float32)
+    scan = ref + np.float32(0.05)
+    kp = jnp.asarray(ref[:64])
+    valid = jnp.ones(64, bool)
+    args = (kp + 0.05, valid, kp, valid, jnp.asarray(scan), jnp.asarray(nrm),
+            jnp.asarray(ref), jnp.asarray(nrm),
+            jnp.asarray(scan[::4]), jnp.ones(150, bool), jax.random.key(0))
+    kw = dict(radius=1.0, k_max=64, min_neighborhood_size=3, n_draws=128,
+              max_iter=5)
+    res_brute = fused_registration(*args, **kw)
+    grids = dict(
+        scan_grid=build_grid(scan, 1.0, extras=nrm),
+        ref_grid=build_grid(ref, 1.0, extras=nrm),
+        ref_icp_grid=build_grid(ref, 0.3),
+    )
+    res_grid = fused_registration(*args, **kw, **grids)
+    # same matches and transforms (search results identical up to tie order)
+    assert int(res_brute.n_matches) == int(res_grid.n_matches)
+    assert np.allclose(np.asarray(res_brute.icp_transform.rotation),
+                       np.asarray(res_grid.icp_transform.rotation), atol=1e-3)
+    assert np.allclose(np.asarray(res_brute.icp_transform.translation),
+                       np.asarray(res_grid.icp_transform.translation), atol=1e-3)
