@@ -74,7 +74,7 @@ def main() -> None:
     # construction, which its per-keypoint timings exclude too); normals ride
     # along as extras so the search returns gathered [points | normals] rows
     t0 = time.perf_counter()
-    grid = build_grid(cloud, radius, extras=normals_np)
+    grid = build_grid(cloud, radius / 2, extras=normals_np, halo=2)
     log(f"grid build: {time.perf_counter() - t0:.2f}s "
         f"(cell_cap={grid.cell_cap}, window_cap={grid.window_cap})")
 

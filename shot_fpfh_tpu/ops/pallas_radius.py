@@ -184,6 +184,7 @@ def radius_pca_pallas(
     with the reference's centered/count normalization, barycenter, count; ALL
     in-radius points contribute, no k cap).
     """
+    assert grid.halo == 1, "Pallas kernels stream 9 z-column runs (halo=1)"
     if not grid.has_table:
         from .grid_hash import grid_radius_pca
 
@@ -318,6 +319,7 @@ def grid_radius_search_pallas(
     """
     from .grid_hash import grid_radius_search
 
+    assert grid.halo == 1, "Pallas kernels stream 9 z-column runs (halo=1)"
     if not grid.has_table:
         return grid_radius_search(grid, queries, radius, k_max,
                                   with_values=with_values)

@@ -363,6 +363,7 @@ def shot_descriptor_pallas(
     from .eigh3 import eigh3x3
 
     assert grid.packed_sorted.shape[1] >= 6, "grid needs normals as extras"
+    assert grid.halo == 1, "Pallas kernels stream 9 z-column runs (halo=1)"
     interpret = not _on_tpu()
     keypoints = jnp.asarray(keypoints, jnp.float32)
     q = keypoints.shape[0]

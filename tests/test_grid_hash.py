@@ -165,3 +165,19 @@ def test_grid_radius_pca_matches_bruteforce(rng):
         c_ref = (nb - b).T @ (nb - b) / len(nb)
         assert np.allclose(np.asarray(bary[i]), b, atol=1e-4)
         assert np.allclose(np.asarray(cov[i]), c_ref, atol=1e-4)
+
+
+def test_halo2_grid_matches_bruteforce(rng):
+    import numpy as np
+    pts = rng.normal(size=(400, 3)).astype(np.float32) * 2.0
+    q = np.concatenate([pts[:30], np.array([[9.0, 9.0, 9.0]], np.float32)])
+    radius = 0.8
+    grid = build_grid(pts, radius / 2, halo=2)  # cell = r/2, 5^3 window
+    res = grid_radius_search(grid, jnp.asarray(q), radius, 64)
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    want = (d <= radius).sum(axis=1)
+    got = np.asarray(res.mask.sum(axis=-1))
+    assert np.array_equal(got, want)
+    da = np.sort(np.where(d <= radius, d, 1e9), axis=1)[:, :64]
+    db = np.sort(np.where(np.asarray(res.mask), np.asarray(res.dist), 1e9), axis=1)
+    assert np.allclose(np.minimum(da, 1e9), np.minimum(db, 1e9), atol=1e-5)
