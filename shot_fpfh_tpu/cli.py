@@ -84,7 +84,18 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute = parser.add_argument_group("compute")
     compute.add_argument("--k_max_descriptor", type=int, default=None)
     compute.add_argument("--k_max_fpfh", type=int, default=None)
-    compute.add_argument("--normals_k", type=int, default=None)
+    compute.add_argument("--normals_k", "--normals_computation_k", type=int,
+                         default=None, dest="normals_k",
+                         help="Number of neighbors used to compute normals "
+                              "(reference name: --normals_computation_k).")
+    compute.add_argument("--share_local_rfs", action="store_const", const=True,
+                         default=None,
+                         help="Share local reference frames between SHOT "
+                              "scales (reference parse_args.py:87-90).")
+    compute.add_argument("--disable_progress_bars", action="store_true",
+                         help="Reference-compatibility no-op: stages here are "
+                              "single device programs with no inner loops to "
+                              "report on (reference parse_args.py:35-38).")
     compute.add_argument("--state_cache", type=str, default=None,
                          help="npz path: save/resume keypoints+descriptors+matches")
     compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
