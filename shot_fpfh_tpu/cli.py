@@ -14,7 +14,6 @@ import logging
 import os
 from pathlib import Path
 
-import numpy as np
 
 from .configuration import load_config_from_yaml
 from .io.ground_truth import get_transform_from_conf_file

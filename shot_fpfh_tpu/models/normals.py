@@ -19,9 +19,8 @@ from ..ops.grid_hash import (
     build_grid,
     grid_radius_pca,
     knn_auto,
-    radius_search_auto,
 )
-from ..ops.neighbors import knn, radius_search
+from ..ops.neighbors import radius_search
 
 
 def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
