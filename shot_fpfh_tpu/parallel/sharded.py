@@ -53,11 +53,47 @@ def sharded_shot_descriptors(
     k_max: int = 256,
     min_neighborhood_size: int = 100,
     normalize: bool = True,
+    use_grid: bool | None = None,
 ) -> np.ndarray:
-    """SHOT descriptors with keypoints sharded over the mesh."""
+    """SHOT descriptors with keypoints sharded over the mesh.
+
+    Above ``AUTO_GRID_MIN_POINTS`` (or with ``use_grid=True``) the support
+    cloud is bucketed once into a grid-hash engine whose arrays replicate
+    across the mesh, so each device runs the compacted candidate scan on its
+    keypoint shard — the multi-chip path scales to ~1M-point supports."""
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
+
     n_dev = mesh.devices.size
     kp_padded, n_orig = pad_to_multiple(np.asarray(keypoints, np.float32), n_dev)
     kp = shard_rows(kp_padded, mesh)
+    if use_grid is None:
+        use_grid = len(support) >= AUTO_GRID_MIN_POINTS
+
+    if use_grid:
+        grid = build_grid(np.asarray(support, np.float32), float(radius) / 2,
+                          extras=np.asarray(normals, np.float32), halo=2)
+        grid = jax.tree_util.tree_map(lambda x: replicate(np.asarray(x), mesh), grid)
+        grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(POINTS_AXIS, None), grid_specs),
+            out_specs=P(POINTS_AXIS, None),
+        )
+        def compute_grid(kp_block, grid_rep):
+            nbr, vals = grid_radius_search(grid_rep, kp_block, radius, k_max,
+                                           with_values=True)
+            rfs = local_reference_frames(kp_block, vals[..., :3], nbr.mask, radius)
+            return shot_from_neighborhoods(
+                kp_block, vals[..., :3], vals[..., 3:6], nbr.mask, rfs, radius,
+                normalize=normalize, min_neighborhood_size=min_neighborhood_size,
+            )
+
+        out = compute_grid(kp, grid)
+        return np.asarray(out)[:n_orig]
+
     sup = replicate(np.asarray(support, np.float32), mesh)
     nrm = replicate(np.asarray(normals, np.float32), mesh)
 

@@ -134,3 +134,18 @@ def test_scaling_report_runs(mesh):
     )
     assert 1 in res and 8 in res
     assert res[8] > 0 and res[1] > 0
+
+
+def test_sharded_shot_grid_path_matches_single_device(mesh):
+    rng = np.random.default_rng(9)
+    pts = (rng.normal(size=(500, 3)) * 2.0).astype(np.float32)
+    normals = rng.normal(size=(500, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    kp = pts[:50]
+    sharded = sharded_shot_descriptors(
+        kp, pts, normals, 0.8, mesh, k_max=128,
+        min_neighborhood_size=3, use_grid=True,
+    )
+    single, _ = compute_shot_descriptor(
+        kp, pts, normals, 0.8, k_max=128, min_neighborhood_size=3)
+    np.testing.assert_allclose(sharded, np.asarray(single), atol=2e-3)
