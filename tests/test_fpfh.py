@@ -97,3 +97,22 @@ def test_fpfh_rotation_invariance(rng):
     # histogram bin edges make this nearly-but-not-exactly invariant
     diff = np.linalg.norm(d1 - d2, axis=1) / np.maximum(np.linalg.norm(d1, axis=1), 1e-9)
     assert np.median(diff) < 0.2
+
+
+def test_fpfh_streamed_large_cloud_branch(monkeypatch, rng):
+    """The >AUTO_GRID_MIN_POINTS streamed-SPFH branch must match the dense
+    path (threshold monkeypatched so a small cloud exercises it)."""
+    import shot_fpfh_tpu.models.fpfh as fpfh_mod
+    from shot_fpfh_tpu.models.fpfh import compute_fpfh_descriptor
+
+    pts = (rng.normal(size=(300, 3)) * 1.5).astype(np.float32)
+    nrm = rng.normal(size=(300, 3)); nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm.astype(np.float32)
+    kp = np.arange(0, 300, 7, dtype=np.int32)
+
+    dense = np.asarray(compute_fpfh_descriptor(kp, pts, nrm, 0.8, n_bins=5, k_max=64))
+
+    import shot_fpfh_tpu.ops.grid_hash as gh
+    monkeypatch.setattr(gh, "AUTO_GRID_MIN_POINTS", 10)
+    streamed = np.asarray(compute_fpfh_descriptor(kp, pts, nrm, 0.8, n_bins=5, k_max=64))
+    assert np.allclose(dense, streamed, atol=1e-4)

@@ -74,3 +74,22 @@ def test_full_features_shape(surface_cloud):
     feats = np.asarray(compute_pca_based_features(pts[:25], pts, 0.4, k_max=128))
     assert feats.shape == (25, 21)
     assert np.isfinite(feats).all()
+
+
+def test_normals_radius_grid_branch(monkeypatch, rng):
+    """compute_normals' large-cloud radius branch (fused grid PCA) must match
+    the brute radius path."""
+    import shot_fpfh_tpu.models.normals as nm
+
+    # a smooth sheet: surface normals are well-conditioned (a Gaussian blob
+    # has near-isotropic neighborhoods where the smallest eigenvector is
+    # ill-defined and the two paths may legitimately disagree)
+    xy = rng.uniform(-2, 2, size=(400, 2))
+    z = 0.4 * np.sin(1.3 * xy[:, 0]) * np.cos(1.1 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    dense = np.asarray(nm.compute_normals(pts[:50], pts, radius=0.9, k_max=400))
+    monkeypatch.setattr(nm, "AUTO_GRID_MIN_POINTS", 10)
+    fused = np.asarray(nm.compute_normals(pts[:50], pts, radius=0.9))
+    # normals defined up to sign
+    dots = np.abs(np.sum(dense * fused, axis=1))
+    assert np.all(dots > 1 - 1e-4)
