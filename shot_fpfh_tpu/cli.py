@@ -87,10 +87,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                          default=None, dest="normals_k",
                          help="Number of neighbors used to compute normals "
                               "(reference name: --normals_computation_k).")
-    compute.add_argument("--share_local_rfs", action="store_const", const=True,
-                         default=None,
+    compute.add_argument("--share_local_rfs",
+                         action=argparse.BooleanOptionalAction, default=None,
                          help="Share local reference frames between SHOT "
-                              "scales (reference parse_args.py:87-90).")
+                              "scales (reference parse_args.py:87-90; the "
+                              "config default is True, so --no-share_local_rfs "
+                              "is the meaningful override).")
     compute.add_argument("--disable_progress_bars", action="store_true",
                          help="Reference-compatibility no-op: stages here are "
                               "single device programs with no inner loops to "

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.histogram import batched_histogram, bin_index, factored_histogram
 from ..ops.grid_hash import radius_search_with_values_auto
@@ -43,7 +42,7 @@ def compute_spfh(
     Neighbor search auto-dispatches to the grid-hash engine for large clouds
     (every cloud point is a query here, so this pass is O(N·N) under brute
     force but O(N·27·cap) through the grid)."""
-    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
     from ..ops.neighbors import Neighborhoods
 
     cloud = jnp.asarray(cloud_points, jnp.float32)
@@ -62,7 +61,8 @@ def compute_spfh(
     # (OOM at 1M points).  Stream query chunks through one compiled step;
     # only the (N, k_max) neighborhoods and the (N, D) SPFH accumulate.
     grid = build_grid(cloud, float(radius) / 2, extras=nrm, halo=2)
-    chunk = 1 << 17
+    # chunk: bounded padding for clouds between the auto threshold and 128k
+    chunk = min(1 << 17, -(-n // 1024) * 1024)
 
     spfh_parts, idx_parts, dist_parts, mask_parts = [], [], [], []
     for s in range(0, n, chunk):

@@ -341,9 +341,9 @@ def grid_radius_search(
 @functools.partial(jax.jit, static_argnames=("query_chunk",))
 def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int = 2048):
     """1-NN through the grid.  NOTE: exact only when the true nearest neighbor
-    lies within one cell (cell_size) of the query — callers (ICP with d_max <=
-    cell_size) satisfy this; queries with no candidate in the 27-cell
-    neighborhood return dist=inf."""
+    lies within ``halo * cell_size`` of the query — callers (ICP with d_max <=
+    cell_size on a halo-1 grid) satisfy this; queries with no candidate in the
+    scanned window return dist=inf."""
     queries = jnp.asarray(queries, jnp.float32)
     q = queries.shape[0]
 
@@ -387,7 +387,10 @@ def grid_radius_pca(
     r2 = jnp.asarray(radius, jnp.float32) ** 2
 
     def one_chunk(qc):
-        slots, valid = _compacted_slots(grid, qc)
+        if grid.has_table:
+            slots, valid = _compacted_slots(grid, qc)
+        else:
+            slots, valid = _candidate_slots(grid, qc)  # binary-search fallback
         cand = grid.packed_sorted[slots][..., :3]      # (C, W, 3)
         diff = cand - qc[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
@@ -467,10 +470,24 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
     sample = points[::stride][:sample_size]
     kth = np.asarray(knn(sample, points, k).dist[:, -1])
     # 1.5x the 99th-percentile sampled k-th distance bounds the k-th neighbor
-    # for all but extreme-outlier queries (max-based bounds blow the window up
-    # on a single sparse sample); quantize the radius to a 1.25-geometric grid
-    # so repeated similar clouds reuse compiled query programs.
+    # for all but sparse-region queries (max-based bounds blow the window up
+    # on a single outlier sample); quantize the radius to a 1.25-geometric
+    # grid so repeated similar clouds reuse compiled query programs.
     raw = 1.5 * float(np.quantile(kth, 0.99))
     radius = float(1.25 ** np.ceil(np.log(max(raw, 1e-12)) / np.log(1.25)))
     grid = build_grid(points, radius)
-    return grid_radius_search(grid, queries, radius, k)
+    nbr = grid_radius_search(grid, queries, radius, k)
+    # exactness net: queries whose k-th neighbor fell outside the bound get a
+    # brute-force pass (rare — sparse regions only), keeping the k-NN contract
+    missing = np.asarray(nbr.count < min(k, n))
+    if missing.any():
+        miss = np.nonzero(missing)[0]
+        fix = knn(queries[miss], points, k)
+        idx = np.array(nbr.idx)
+        dist = np.array(nbr.dist)
+        mask = np.array(nbr.mask)
+        idx[miss] = np.asarray(fix.idx)
+        dist[miss] = np.asarray(fix.dist)
+        mask[miss] = np.asarray(fix.mask)
+        nbr = Neighborhoods(jnp.asarray(idx), jnp.asarray(dist), jnp.asarray(mask))
+    return nbr

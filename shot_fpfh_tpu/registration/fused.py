@@ -161,6 +161,9 @@ def fused_registration(
         else:
             dist, nn = nearest_neighbor(moved, ref_support)
         w = (dist <= d_max).astype(jnp.float32) * sub_w_base
+        # grid 1-NN reports dist=inf for windowless queries; w is 0 there but
+        # inf * 0 = NaN, so zero the distance before weighting
+        dist = jnp.where(jnp.isfinite(dist), dist, 0.0)
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         target = ref_support[nn]
         if point_to_plane:
@@ -237,7 +240,9 @@ def register_pair(
     if len(ref32) >= AUTO_GRID_MIN_POINTS:
         grids["ref_grid"] = build_grid(ref32, radius,
                                        extras=np.asarray(ref_normals, np.float32))
-        d_max = fused_kwargs.get("d_max", 0.3)
+        # pin d_max once so the ICP grid's cell size (its exactness bound)
+        # and the fused program always agree
+        d_max = fused_kwargs.setdefault("d_max", 0.3)
         grids["ref_icp_grid"] = build_grid(ref32, float(d_max))
 
     return fused_registration(

@@ -181,3 +181,42 @@ def test_halo2_grid_matches_bruteforce(rng):
     da = np.sort(np.where(d <= radius, d, 1e9), axis=1)[:, :64]
     db = np.sort(np.where(np.asarray(res.mask), np.asarray(res.dist), 1e9), axis=1)
     assert np.allclose(np.minimum(da, 1e9), np.minimum(db, 1e9), atol=1e-5)
+
+
+def test_radius_pca_tableless_fallback(rng):
+    """Sparse grids without a cell-start table must still produce correct
+    PCA moments (regression: the compacted path silently returned zeros)."""
+    from shot_fpfh_tpu.ops.grid_hash import HashGrid, grid_radius_pca
+    import shot_fpfh_tpu.ops.grid_hash as gh
+    pts = rng.uniform(-500, 500, size=(300, 3)).astype(np.float32)
+    radius = 2.0
+    grid = build_grid(pts, radius)
+    # force the no-table path regardless of what build chose
+    grid = HashGrid(grid.packed_sorted, grid.orig_idx, grid.cell_ids_sorted,
+                    grid.origin, grid.dims, grid.cell_size,
+                    jnp.zeros((1,), jnp.int32), grid.cell_cap, False,
+                    27 * grid.cell_cap, 3 * grid.cell_cap, 1)
+    q = pts[:20]
+    cov, bary, cnt = grid_radius_pca(grid, jnp.asarray(q), radius)
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    want = (d <= radius).sum(axis=1)
+    assert np.array_equal(np.asarray(cnt).astype(int), want)
+
+
+def test_knn_auto_sparse_region_exactness(monkeypatch, rng):
+    """knn_auto must honor the k-NN contract even for queries in sparse
+    regions where the sampled radius bound under-covers (regression)."""
+    import shot_fpfh_tpu.ops.grid_hash as gh
+    blob = rng.normal(size=(800, 3)).astype(np.float32) * 0.2
+    halo_pts = rng.uniform(-30, 30, size=(40, 3)).astype(np.float32)
+    pts = np.concatenate([blob, halo_pts])
+    monkeypatch.setattr(gh, "AUTO_GRID_MIN_POINTS", 100)
+    k = 8
+    nbr = gh.knn_auto(pts, pts, k)
+    counts = np.asarray(nbr.mask.sum(axis=1))
+    assert counts.min() == k  # every query gets its full k
+    # spot-check distances against the oracle on the sparse points
+    d = np.linalg.norm(pts[800:, None, :] - pts[None, :, :], axis=-1)
+    want = np.sort(d, axis=1)[:, :k]
+    got = np.sort(np.asarray(nbr.dist[800:]), axis=1)
+    assert np.allclose(got, want, atol=1e-5)
