@@ -14,8 +14,8 @@ def rng():
 
 
 def test_radius_pca_pallas_matches_xla(rng):
-    pts = (rng.normal(size=(600, 3)) * 2.0).astype(np.float32)
-    q = pts[:70]
+    pts = (rng.normal(size=(400, 3)) * 2.0).astype(np.float32)
+    q = pts[:40]
     radius = 0.8
     grid = build_grid(pts, radius)
     cov_x, bary_x, cnt_x = grid_radius_pca(grid, jnp.asarray(q), radius)
@@ -40,9 +40,9 @@ def test_radius_pca_pallas_empty_and_edge(rng):
 def test_hybrid_search_matches_xla(rng):
     from shot_fpfh_tpu.ops.grid_hash import grid_radius_search
     from shot_fpfh_tpu.ops.pallas_radius import grid_radius_search_pallas
-    pts = (rng.normal(size=(500, 3)) * 2.0).astype(np.float32)
-    extras = rng.normal(size=(500, 3)).astype(np.float32)
-    q = pts[:50]
+    pts = (rng.normal(size=(350, 3)) * 2.0).astype(np.float32)
+    extras = rng.normal(size=(350, 3)).astype(np.float32)
+    q = pts[:32]
     radius = 0.8
     grid = build_grid(pts, radius, extras=extras)
     a, va = grid_radius_search(grid, jnp.asarray(q), radius, 64, with_values=True)

@@ -14,7 +14,7 @@ def rng():
     return np.random.default_rng(11)
 
 
-def _cloud(rng, n=400):
+def _cloud(rng, n=260):
     xy = rng.uniform(-2, 2, size=(n, 2))
     z = 0.5 * np.sin(1.7 * xy[:, 0]) * np.cos(1.3 * xy[:, 1])
     pts = np.column_stack([xy, z]).astype(np.float32)
@@ -26,7 +26,7 @@ def _cloud(rng, n=400):
 
 def test_pallas_shot_matches_xla_path(rng):
     pts, nrm = _cloud(rng)
-    kp = pts[:40]
+    kp = pts[:24]
     radius = 0.8
     grid = build_grid(pts, radius, extras=nrm)
     desc_p, rf_p = shot_descriptor_pallas(
@@ -40,7 +40,7 @@ def test_pallas_shot_matches_xla_path(rng):
 
 
 def test_pallas_shot_sparse_is_zero(rng):
-    pts, nrm = _cloud(rng, n=300)
+    pts, nrm = _cloud(rng, n=200)
     kp = pts[:10]
     grid = build_grid(pts, 0.5, extras=nrm)
     desc, _ = shot_descriptor_pallas(grid, kp, 0.5, min_neighborhood_size=10_000, qb=8)
