@@ -18,7 +18,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_N_SWEEPS = 6  # 6 sweeps x 3 rotations; 3x3 Jacobi is typically exact after 3.
+# 3x3 cyclic Jacobi converges to the f32 residual floor by sweep 3 (measured
+# across random SPD / near-planar / near-linear / near-isotropic batches);
+# one extra sweep of margin.
+_N_SWEEPS = 4
 
 
 def _rotate_planes(a, v, p: int, q: int):
