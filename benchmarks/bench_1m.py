@@ -123,7 +123,7 @@ def main() -> None:
     log(f"{'ransac (10k draws)':24s} cold {cold['ransac']:7.2f}s (inlier ratio {float(ratio):.2f})")
 
     t0 = time.perf_counter()
-    T_icp, rms, conv = icp_point_to_plane(scan, ref, nr, T, d_max=0.5,
+    T_icp, rms, conv, _n_iters = icp_point_to_plane(scan, ref, nr, T, d_max=0.5,
                                           max_iter=30, rms_threshold=1e-6,
                                           voxel_size=0.5)
     jax.block_until_ready(T_icp.rotation)

@@ -35,10 +35,12 @@ def read_ply(filename: str) -> np.ndarray:
     """Read a binary .ply file into a structured array (vertex element)."""
     with open(filename, "rb") as f:
         if b"ply" not in f.readline():
-            raise ValueError("The file does not start with the word ply")
+            raise ValueError(f"{filename!r} is missing the 'ply' magic header line")
         fmt = f.readline().split()[1].decode()
         if fmt == "ascii":
-            raise ValueError("The file is not binary")
+            raise ValueError(
+                f"{filename!r} is an ASCII .ply; only binary .ply is supported"
+            )
         prefix = _FORMAT_PREFIX[fmt]
 
         num_points = None
@@ -64,20 +66,20 @@ def write_ply(filename: str, field_list, field_names: list[str]) -> bool:
     fields = list(field_list) if isinstance(field_list, (list, tuple)) else [field_list]
     for i, field in enumerate(fields):
         if field is None:
-            logger.warning("WRITE_PLY ERROR: a field is None")
+            logger.warning("write_ply: refusing to write a None field")
             return False
         field = np.asarray(field)
         if field.ndim > 2:
-            logger.warning("WRITE_PLY ERROR: a field has more than 2 dimensions")
+            logger.warning("write_ply: fields must be 1-D or 2-D arrays")
             return False
         fields[i] = field.reshape(-1, 1) if field.ndim < 2 else field
 
     n_rows = {f.shape[0] for f in fields}
     if len(n_rows) != 1:
-        logger.warning("wrong field dimensions")
+        logger.warning("write_ply: fields disagree on the number of rows")
         return False
     if sum(f.shape[1] for f in fields) != len(field_names):
-        logger.warning("wrong number of field names")
+        logger.warning("write_ply: field_names count does not match total columns")
         return False
 
     if not filename.endswith(".ply"):
@@ -139,8 +141,8 @@ def get_data(
     elif normals is None:
         if normals_computation_callback is None:
             raise ValueError(
-                "The function used to compute normals needs to be specified as "
-                "the ply file does not contain normals."
+                f"{data_path!r} has no normal fields (nx/ny/nz or n_x/n_y/n_z) and "
+                "no normals_computation_callback was given to compute them"
             )
         normals = np.asarray(
             normals_computation_callback(points, points, k=k, radius=radius)

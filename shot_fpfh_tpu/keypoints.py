@@ -49,9 +49,58 @@ def _iterative_masked(points: jnp.ndarray, radius) -> jnp.ndarray:
     return selected
 
 
-def select_keypoints_iteratively(points, radius) -> np.ndarray:
+@jax.jit
+def _iterative_rounds(idx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Round-parallel greedy coverage from precomputed (N, k) neighborhoods.
+
+    The sequential greedy ("pick first unvisited, mark its ball visited") is
+    the lexicographically-first maximal independent set of the radius graph.
+    That fixpoint is computable in rounds: select every unvisited point whose
+    index is minimal among its *unvisited* in-radius neighbors, mark selected
+    points' neighborhoods visited, repeat.  Each round is one masked segment-
+    min + gather — tens of device rounds instead of one sequential device
+    round per keypoint."""
+    n = idx.shape[0]
+    own = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        visited, _selected, rounds = state
+        return (~jnp.all(visited)) & (rounds < n)
+
+    def body(state):
+        visited, selected, rounds = state
+        unvis = ~visited
+        # index of each unvisited neighbor, sentinel n elsewhere
+        nbr_unvis = jnp.where(mask & unvis[idx], idx, n)
+        min_nbr = jnp.min(nbr_unvis, axis=1)
+        # self is its own neighbor (distance 0 survives any top-k cap), so for
+        # an unvisited point min_nbr <= own; >= means own index is the minimum
+        new_sel = unvis & (min_nbr >= own)
+        covered = jnp.any(mask & new_sel[idx], axis=1)
+        return visited | covered | new_sel, selected | new_sel, rounds + 1
+
+    state = (jnp.zeros(n, bool), jnp.zeros(n, bool), jnp.asarray(0, jnp.int32))
+    _, selected, _ = jax.lax.while_loop(cond, body, state)
+    return selected
+
+
+def select_keypoints_iteratively(points, radius, k_max: int = 128) -> np.ndarray:
+    """Greedy coverage keypoints (reference keypoint_selection.py:11-31).
+
+    Small clouds run the exact sequential ``lax.while_loop`` (one device round
+    per keypoint).  Large clouds switch to the round-parallel formulation over
+    grid-hash neighborhoods — same greedy fixpoint, except that radius balls
+    holding more than ``k_max`` points are truncated to the nearest ``k_max``
+    (the framework-wide neighborhood-cap semantics), which can only make the
+    selection slightly denser."""
+    from .ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
+
     pts = jnp.asarray(points, jnp.float32)
-    return np.nonzero(np.asarray(_iterative_masked(pts, radius)))[0]
+    if pts.shape[0] < AUTO_GRID_MIN_POINTS:
+        return np.nonzero(np.asarray(_iterative_masked(pts, radius)))[0]
+    grid = build_grid(np.asarray(pts), float(radius) / 2, halo=2)
+    nbr = grid_radius_search(grid, pts, radius, k_max)
+    return np.nonzero(np.asarray(_iterative_rounds(nbr.idx, nbr.mask)))[0]
 
 
 def select_keypoints_subsampling(points, voxel_size) -> np.ndarray:

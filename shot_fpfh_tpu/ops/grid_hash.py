@@ -29,6 +29,7 @@ identical to brute force up to top-k tie order.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple
 
 import jax
@@ -36,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .neighbors import Neighborhoods
+
+logger = logging.getLogger(__name__)
 
 def _offsets_3d(halo: int) -> np.ndarray:
     r = range(-halo, halo + 1)
@@ -69,7 +72,8 @@ class HashGrid:
 
     def __init__(self, packed_sorted, orig_idx, cell_ids_sorted, origin, dims,
                  cell_size, cell_starts, cell_cap: int, has_table: bool,
-                 window_cap: int, col_cap: int = 0, halo: int = 1):
+                 window_cap: int, col_cap: int = 0, halo: int = 1,
+                 cell_size_static: float | None = None):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -83,6 +87,9 @@ class HashGrid:
         self.col_cap = col_cap              # static: max points per z-column run
         self.halo = halo                    # static: cells per side of window;
                                             # searches support radius <= halo*cell_size
+        self.cell_size_static = cell_size_static  # host float copy of cell_size
+                                            # (lets entry points check the
+                                            # radius contract without a sync)
 
     @property
     def points_sorted(self):
@@ -92,7 +99,7 @@ class HashGrid:
         children = (self.packed_sorted, self.orig_idx, self.cell_ids_sorted,
                     self.origin, self.dims, self.cell_size, self.cell_starts)
         return children, (self.cell_cap, self.has_table, self.window_cap,
-                          self.col_cap, self.halo)
+                          self.col_cap, self.halo, self.cell_size_static)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -189,7 +196,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         packed = jnp.concatenate([pts_sorted, extras[orig_idx]], axis=1)
     return HashGrid(packed, orig_idx, ids_sorted, origin, dims,
                     jnp.asarray(cell_size, jnp.float32), cell_starts, cap,
-                    has_table, wcap, col_cap, halo)
+                    has_table, wcap, col_cap, halo,
+                    cell_size_static=float(cell_size))
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
@@ -270,10 +278,39 @@ def _candidate_slots(grid: HashGrid, queries: jnp.ndarray):
     return slots.reshape(qc, -1), valid.reshape(qc, -1)
 
 
+def check_radius_contract(grid: HashGrid, radius) -> None:
+    """Raise if a concrete ``radius`` exceeds what the grid's window covers
+    (``halo * cell_size``) — a smaller cell would silently truncate
+    neighborhoods.  No-op for traced radii (in-jit call sites pass the same
+    host floats their grids were built with)."""
+    if not isinstance(radius, (int, float, np.floating)):
+        return
+    cell = grid.cell_size_static
+    if cell is not None and grid.halo * cell < float(radius) * (1.0 - 1e-6):
+        raise ValueError(
+            f"grid with cell_size={cell} and halo={grid.halo} covers "
+            f"radius <= {grid.halo * cell:.6g}, but the search asked for "
+            f"radius={float(radius):.6g}; rebuild the grid with "
+            f"cell_size >= radius / halo"
+        )
+
+
+def grid_radius_search(
+    grid: HashGrid, queries: jnp.ndarray, radius, k_max: int,
+    query_chunk: int = 512, approx: bool = False, with_values: bool = False,
+):
+    """Radius search through the grid (contract-checked host entry; see
+    ``_grid_radius_search_jit`` for the device program)."""
+    check_radius_contract(grid, radius)
+    return _grid_radius_search_jit(
+        grid, queries, radius, k_max, query_chunk, approx, with_values
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_max", "query_chunk", "approx", "with_values")
 )
-def grid_radius_search(
+def _grid_radius_search_jit(
     grid: HashGrid, queries: jnp.ndarray, radius, k_max: int,
     query_chunk: int = 512, approx: bool = False, with_values: bool = False,
 ):
@@ -367,8 +404,16 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
     return dist.reshape(-1)[:q], idx.reshape(-1)[:q]
 
 
-@functools.partial(jax.jit, static_argnames=("query_chunk",))
 def grid_radius_pca(
+    grid: HashGrid, queries: jnp.ndarray, radius, query_chunk: int = 512
+):
+    """Contract-checked host entry for ``_grid_radius_pca_jit``."""
+    check_radius_contract(grid, radius)
+    return _grid_radius_pca_jit(grid, queries, radius, query_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("query_chunk",))
+def _grid_radius_pca_jit(
     grid: HashGrid, queries: jnp.ndarray, radius, query_chunk: int = 512
 ):
     """Fused radius-neighborhood PCA: covariance/barycenter as masked
@@ -481,6 +526,17 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
     # brute-force pass (rare — sparse regions only), keeping the k-NN contract
     missing = np.asarray(nbr.count < min(k, n))
     if missing.any():
+        frac = float(missing.mean())
+        if frac > 0.05:
+            # heavy-tailed density: the sampled radius bound undercovers many
+            # queries and this call is silently degenerating toward a full
+            # brute-force pass — surface it as a diagnostic (ADVICE r1 #3)
+            logger.warning(
+                "knn_auto exactness net caught %.1f%% of %d queries "
+                "(sampled radius bound %.3g undercovers); consider a larger "
+                "sample_size or radius-based search for this cloud",
+                100.0 * frac, len(missing), radius,
+            )
         miss = np.nonzero(missing)[0]
         fix = knn(queries[miss], points, k)
         idx = np.array(nbr.idx)

@@ -285,7 +285,7 @@ def sharded_icp(
     max_iter: int = 50,
     rms_threshold: float = 1e-3,
     point_to_plane: bool = True,
-) -> tuple[RigidTransform, float, bool]:
+) -> tuple[RigidTransform, float, bool, int]:
     """ICP with the subsampled scan sharded over the mesh; per-iteration
     reductions are psums of the solver's sufficient statistics."""
     n_dev = mesh.devices.size
@@ -306,7 +306,7 @@ def sharded_icp(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
     )
     def run(scan_blk, valid_blk, ref_r, nrm_r, rot0, t0):
         from ..ops.neighbors import _sq_dists  # local tile argmin, no jit wrapper
@@ -352,7 +352,7 @@ def sharded_icp(
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
         )
         i, rot, t, rms, done = jax.lax.while_loop(cond, body, state)
-        return rot, t, rms, done
+        return rot, t, rms, done, i
 
-    rot, t, rms, done = run(s_sh, v_sh, ref_rep, nrm_rep, init_rot, init_t)
-    return RigidTransform(rot, t), float(rms), bool(done)
+    rot, t, rms, done, i = run(s_sh, v_sh, ref_rep, nrm_rep, init_rot, init_t)
+    return RigidTransform(rot, t), float(rms), bool(done), int(i)

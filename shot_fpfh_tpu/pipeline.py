@@ -5,6 +5,11 @@ The host-level counterpart of the reference's ``RegistrationPipeline``
 (recompute only on ``force_recompute``), and dispatches each stage to the
 batched TPU kernels.  Stage timings/throughputs are recorded in
 ``self.metrics`` (``utils.StageMetrics``).
+
+Note on strings: the dispatcher ``ValueError``/assert messages ("Incorrect
+keypoint selection algorithm." etc.) deliberately match the reference's so
+callers that pattern-match on them keep working — this is API parity, the
+dispatched implementations are original.
 """
 
 from __future__ import annotations
@@ -367,8 +372,12 @@ class RegistrationPipeline:
             )
         else:
             raise ValueError("Incorrect ICP type selected.")
-        self.metrics.stop(iterations=max_iter)
-        return out
+        self.metrics.stop(iterations=out.n_iters)
+        logger.info(
+            "ICP ran %d/%d iterations (converged: %s).",
+            out.n_iters, max_iter, out.has_converged,
+        )
+        return out.transform, out.rms, out.has_converged
 
     # ---------------------------------------------------------------- metrics --
     def compute_metrics_post_icp(

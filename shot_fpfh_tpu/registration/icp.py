@@ -111,6 +111,16 @@ def _maybe_grid(ref, d_max):
     return None
 
 
+class IcpHostResult(NamedTuple):
+    """Host-side ICP outcome; iterates like the reference's
+    ``(transform, rms, has_converged)`` triple with ``n_iters`` appended."""
+
+    transform: RigidTransform
+    rms: float
+    has_converged: bool
+    n_iters: int
+
+
 def icp_point_to_point(
     scan,
     ref,
@@ -119,7 +129,7 @@ def icp_point_to_point(
     voxel_size: float = 0.2,
     max_iter: int = 100,
     rms_threshold: float = 1e-2,
-) -> tuple[RigidTransform, float, bool]:
+) -> IcpHostResult:
     """Point-to-point ICP on a grid-subsampled scan
     (reference ``icp_point_to_point``, icp.py:81-130)."""
     sub = grid_subsample(scan, voxel_size)
@@ -129,7 +139,9 @@ def icp_point_to_point(
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
     )
-    return res.transform, float(res.rms), bool(res.has_converged)
+    return IcpHostResult(
+        res.transform, float(res.rms), bool(res.has_converged), int(res.n_iters)
+    )
 
 
 def icp_point_to_plane(
@@ -141,7 +153,7 @@ def icp_point_to_plane(
     voxel_size: float = 0.2,
     max_iter: int = 50,
     rms_threshold: float = 1e-2,
-) -> tuple[RigidTransform, float, bool]:
+) -> IcpHostResult:
     """Point-to-plane ICP (reference ``icp_point_to_plane``, icp.py:133-189)."""
     sub = grid_subsample(scan, voxel_size)
     res = icp_point_to_plane_jit(
@@ -150,7 +162,9 @@ def icp_point_to_plane(
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
     )
-    return res.transform, float(res.rms), bool(res.has_converged)
+    return IcpHostResult(
+        res.transform, float(res.rms), bool(res.has_converged), int(res.n_iters)
+    )
 
 
 def icp_point_to_point_with_sampling(

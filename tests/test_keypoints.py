@@ -1,5 +1,6 @@
 import numpy as np
 
+from conftest import make_cloud
 from shot_fpfh_tpu.keypoints import (
     select_keypoints_iteratively,
     select_keypoints_randomly,
@@ -59,3 +60,42 @@ def test_density_threshold_radius_mode(rng):
     )
     assert len(sel) > 0
     assert (sel < 300).all()
+
+
+def test_iterative_rounds_matches_sequential(rng, surface_cloud):
+    """The round-parallel greedy (large-cloud path) must reproduce the exact
+    sequential greedy fixpoint when neighborhoods are uncapped."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.keypoints import _iterative_masked, _iterative_rounds
+    from shot_fpfh_tpu.ops.neighbors import radius_search
+
+    pts = surface_cloud.astype(np.float32)
+    radius = 0.25
+    seq = np.asarray(_iterative_masked(jnp.asarray(pts), radius))
+    nbr = radius_search(jnp.asarray(pts), jnp.asarray(pts), radius, k_max=len(pts))
+    par = np.asarray(_iterative_rounds(nbr.idx, nbr.mask))
+    np.testing.assert_array_equal(seq, par)
+
+
+def test_iterative_large_cloud_path(rng):
+    """The grid-backed round-parallel path must produce a valid covering set."""
+    from shot_fpfh_tpu.keypoints import select_keypoints_iteratively
+    from shot_fpfh_tpu.ops import grid_hash
+
+    pts = np.asarray(
+        np.concatenate([make_cloud(11000, rng, scale=3.0) for _ in range(2)]),
+        np.float32,
+    )
+    assert len(pts) >= grid_hash.AUTO_GRID_MIN_POINTS
+    radius = 0.5
+    sel = select_keypoints_iteratively(pts, radius, k_max=64)
+    assert len(sel) > 0
+    # coverage check, chunked to keep memory bounded
+    kp = pts[sel]
+    mins = np.empty(len(pts), np.float32)
+    for s in range(0, len(pts), 4096):
+        blk = pts[s:s + 4096]
+        d = np.linalg.norm(blk[:, None] - kp[None], axis=-1)
+        mins[s:s + 4096] = d.min(axis=1)
+    assert (mins <= radius + 1e-4).all()

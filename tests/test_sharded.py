@@ -88,7 +88,7 @@ def test_sharded_icp_matches_ground_truth(mesh):
     from shot_fpfh_tpu.core import grid_subsample
 
     sub = grid_subsample(scan.astype(np.float32), 0.15)
-    tf, rms, conv = sharded_icp(
+    tf, rms, conv, n_iters = sharded_icp(
         np.asarray(scan, np.float32)[sub], ref.astype(np.float32), ref_n,
         RigidTransform.identity(), mesh,
         d_max=1.0, max_iter=40, rms_threshold=1e-4, point_to_plane=True,
@@ -100,7 +100,7 @@ def test_sharded_icp_matches_ground_truth(mesh):
 def test_sharded_icp_point_to_point(mesh):
     rng = np.random.default_rng(9)
     ref = bumpy_cloud(1200, rng).astype(np.float32)
-    tf, rms, conv = sharded_icp(
+    tf, rms, conv, n_iters = sharded_icp(
         ref[::3], ref, None, RigidTransform.identity(), mesh,
         d_max=0.5, max_iter=20, rms_threshold=1e-3, point_to_plane=False,
     )
