@@ -9,6 +9,7 @@ timings and optional ground-truth accounting from a Stanford ``.conf`` file.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import logging
 import os
@@ -100,6 +101,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute.add_argument("--state_cache", type=str, default=None,
                          help="npz path: save/resume keypoints+descriptors+matches")
     compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
+    compute.add_argument("--n_devices", type=int, default=None,
+                         help="Devices in the 1-D mesh the pipeline shards "
+                              "over (0 = all visible devices, 1 = single-"
+                              "device; the TPU counterpart of the reference's "
+                              "--n_procs).")
+    compute.add_argument("--n_procs", type=int, default=None, dest="n_devices",
+                         help="Reference-compatibility alias for --n_devices.")
+    compute.add_argument("--mesh_axis", type=str, default=None,
+                         help="Name of the mesh axis (default: points).")
 
     return parser.parse_args(argv)
 
@@ -117,13 +127,30 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    # Build the device mesh the pipeline shards over (n_devices=0 means all
+    # visible devices; a 1-device mesh degenerates to the single-chip path).
+    mesh = None
+    if compute_cfg.n_devices != 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(compute_cfg.n_devices, axis=compute_cfg.mesh_axis)
+        if mesh.devices.size <= 1:
+            mesh = None
+        else:
+            logger.info(
+                "Sharding pipeline stages over a %d-device mesh (axis %r).",
+                mesh.devices.size, compute_cfg.mesh_axis,
+            )
+
+    normals_callback = functools.partial(compute_normals, mesh=mesh)
     scan, scan_normals = get_data(
         args.scan_file_path, k=compute_cfg.normals_k,
-        normals_computation_callback=compute_normals,
+        normals_computation_callback=normals_callback,
     )
     ref, ref_normals = get_data(
         args.ref_file_path, k=compute_cfg.normals_k,
-        normals_computation_callback=compute_normals,
+        normals_computation_callback=normals_callback,
     )
     timer("Data loading + normals")
 
@@ -140,6 +167,7 @@ def main(argv=None) -> int:
         scan=scan, scan_normals=scan_normals, ref=ref, ref_normals=ref_normals,
         k_max_descriptor=compute_cfg.k_max_descriptor,
         k_max_fpfh=compute_cfg.k_max_fpfh,
+        mesh=mesh,
     )
 
     if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):

@@ -167,10 +167,22 @@ def compute_fpfh_descriptor(
     n_bins: int = 5,
     decorrelated: bool = False,
     k_max: int = 128,
+    mesh=None,
 ):
     """Full FPFH pipeline (reference ``compute_fpfh_descriptor``,
     descriptors/fpfh.py:16-117).  Returns (n_keypoints, n_bins³) descriptors
-    (or (n_keypoints, 3·n_bins) when decorrelated)."""
+    (or (n_keypoints, 3·n_bins) when decorrelated).
+
+    With a multi-device ``mesh`` both passes shard over it
+    (``parallel.sharded.sharded_fpfh``): the SPFH query axis is data-parallel
+    and the keypoint aggregation re-gathers the replicated SPFH table."""
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.sharded import sharded_fpfh
+
+        return sharded_fpfh(
+            keypoint_indices, cloud_points, normals, radius, mesh,
+            n_bins=n_bins, k_max=k_max, decorrelated=decorrelated,
+        )
     spfh, nbr = compute_spfh(cloud_points, normals, radius, n_bins, k_max, decorrelated)
     kp = jnp.asarray(keypoint_indices, jnp.int32)
     return _fpfh_aggregate(spfh, nbr.idx, nbr.dist, nbr.mask, kp)

@@ -59,12 +59,24 @@ def compute_normals(
     radius: float | None = None,
     pre_computed_normals=None,
     k_max: int = 64,
+    mesh=None,
 ):
     """PCA normals (reference ``compute_normals``,
     pca_based_descriptors.py:29-59): normal = smallest-eigenvalue eigenvector
     of the neighborhood covariance, optionally sign-aligned to
-    ``pre_computed_normals``."""
+    ``pre_computed_normals``.
+
+    With a multi-device ``mesh`` the query axis shards over it
+    (``parallel.sharded.sharded_normals``)."""
     assert k is not None or radius is not None, "Provide k or radius."
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.sharded import sharded_normals
+
+        return sharded_normals(
+            query_points, cloud_points, mesh,
+            k=k, radius=radius,
+            pre_computed_normals=pre_computed_normals, k_max=k_max,
+        )
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
     pre = None if pre_computed_normals is None else jnp.asarray(pre_computed_normals, jnp.float32)

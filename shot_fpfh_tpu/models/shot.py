@@ -288,6 +288,7 @@ class ShotComputer:
         k_max: int = 512,
         verbose: bool = True,
         pad_queries_to: int = 1024,
+        mesh=None,
     ):
         self.normalize = normalize
         self.share_local_rfs = share_local_rfs
@@ -298,6 +299,14 @@ class ShotComputer:
         # a far-away sentinel (empty neighborhood -> zero descriptor), so
         # scan/ref and successive pairs reuse one compiled program per bucket.
         self.pad_queries_to = pad_queries_to
+        # Multi-chip: a jax.sharding.Mesh routes every scale through
+        # parallel.sharded (keypoint-sharded shard_map) — the TPU counterpart
+        # of the reference's n_procs actually driving its pool
+        # (shot_parallelization.py:31).
+        self.mesh = mesh
+
+    def _use_mesh(self) -> bool:
+        return self.mesh is not None and self.mesh.devices.size > 1
 
     def _support(self, point_cloud, normals, voxel_size):
         if voxel_size is None:
@@ -319,6 +328,15 @@ class ShotComputer:
     ):
         sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
         kp, n_kp = self._pad(keypoints)
+        if self._use_mesh():
+            from ..parallel.sharded import sharded_shot_descriptors
+
+            desc = sharded_shot_descriptors(
+                kp, sup, nrm, radius, self.mesh,
+                k_max=self.k_max, normalize=self.normalize,
+                min_neighborhood_size=self.min_neighborhood_size,
+            )
+            return desc[:n_kp]
         desc, _ = compute_shot_descriptor(
             kp, sup, nrm, radius,
             k_max=self.k_max, normalize=self.normalize,
@@ -341,6 +359,16 @@ class ShotComputer:
         query, fixed here to respect ``subsampling_voxel_size=None``)."""
         sup, nrm = self._support(point_cloud, normals, subsampling_voxel_size)
         kp_np, n_kp = self._pad(keypoints)
+        if self._use_mesh():
+            from ..parallel.sharded import sharded_shot_descriptors
+
+            desc = sharded_shot_descriptors(
+                kp_np, sup, nrm, shot_radius, self.mesh,
+                k_max=self.k_max, normalize=self.normalize,
+                min_neighborhood_size=self.min_neighborhood_size,
+                rf_radius=local_rf_radius,
+            )
+            return desc[:n_kp]
         kp = jnp.asarray(kp_np)
         supj = jnp.asarray(sup, jnp.float32)
         rf_nbr = radius_search(kp, supj, local_rf_radius, self.k_max)
@@ -363,6 +391,22 @@ class ShotComputer:
         descs = []
         shared_rfs = None
         kp, n_kp = self._pad(keypoints)
+        if self._use_mesh():
+            from ..parallel.sharded import sharded_shot_descriptors
+
+            for scale, radius in enumerate(radii):
+                voxel = None if voxel_sizes is None else voxel_sizes[scale]
+                sup, nrm = self._support(point_cloud, normals, voxel)
+                desc, rfs = sharded_shot_descriptors(
+                    kp, sup, nrm, radius, self.mesh,
+                    k_max=self.k_max, normalize=self.normalize,
+                    min_neighborhood_size=self.min_neighborhood_size,
+                    shared_rfs=shared_rfs, return_rfs=True,
+                )
+                if self.share_local_rfs and shared_rfs is None:
+                    shared_rfs = rfs  # stays row-sharded on the mesh
+                descs.append(desc * weights[scale])
+            return np.concatenate(descs, axis=1)[:n_kp]
         for scale, radius in enumerate(radii):
             voxel = None if voxel_sizes is None else voxel_sizes[scale]
             sup, nrm = self._support(point_cloud, normals, voxel)

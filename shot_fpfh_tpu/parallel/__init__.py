@@ -8,7 +8,9 @@ from .multihost import (
 from .sharded import (
     RingMatchResult,
     ring_match,
+    sharded_fpfh,
     sharded_icp,
+    sharded_normals,
     sharded_ransac,
     sharded_shot_descriptors,
 )
@@ -25,7 +27,9 @@ __all__ = [
     "shard_rows",
     "RingMatchResult",
     "ring_match",
+    "sharded_fpfh",
     "sharded_icp",
+    "sharded_normals",
     "sharded_ransac",
     "sharded_shot_descriptors",
 ]

@@ -65,6 +65,18 @@ class RegistrationPipeline:
     k_max_descriptor: int = 512
     k_max_fpfh: int = 128
     metrics: StageMetrics = field(default_factory=StageMetrics)
+    # Multi-chip: a jax.sharding.Mesh with >1 device routes descriptors,
+    # matching, RANSAC and ICP through parallel.sharded (keypoint-sharded
+    # descriptors, ICI-ring matching, psum reductions).  None = single device.
+    # The CLI builds this from ComputeConfig.n_devices / mesh_axis — the TPU
+    # counterpart of the reference's n_procs driving its pool
+    # (shot_parallelization.py:31).
+    mesh: object | None = None
+
+    def _mesh(self):
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return self.mesh
+        return None
 
     # ------------------------------------------------------------ keypoints --
     def select_keypoints(
@@ -128,7 +140,7 @@ class RegistrationPipeline:
         **shot_config,
     ) -> None:
         """Reference API parity (pipeline.py:132-174)."""
-        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
             self.scan_descriptors = np.asarray(computer.compute_descriptor_single_scale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
@@ -145,7 +157,7 @@ class RegistrationPipeline:
         force_recompute=False, **shot_config,
     ) -> None:
         """Reference API parity (pipeline.py:176-221)."""
-        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
             self.scan_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
@@ -164,7 +176,7 @@ class RegistrationPipeline:
         **shot_config,
     ) -> None:
         """Reference API parity (pipeline.py:223-269)."""
-        computer = ShotComputer(k_max=self.k_max_descriptor, **shot_config)
+        computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
             self.scan_descriptors = np.asarray(computer.compute_descriptor_multiscale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
@@ -247,11 +259,13 @@ class RegistrationPipeline:
                 self.scan_descriptors = np.asarray(compute_fpfh_descriptor(
                     self.scan_keypoints, self.scan, self.scan_normals,
                     radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
+                    mesh=self._mesh(),
                 ))
             if need_ref:
                 self.ref_descriptors = np.asarray(compute_fpfh_descriptor(
                     self.ref_keypoints, self.ref, self.ref_normals,
                     radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
+                    mesh=self._mesh(),
                 ))
         else:
             raise ValueError("Incorrect descriptor choice")
@@ -265,6 +279,7 @@ class RegistrationPipeline:
             share_local_rfs=share_local_rfs,
             min_neighborhood_size=min_neighborhood_size,
             k_max=self.k_max_descriptor,
+            mesh=self._mesh(),
         )
 
     # -------------------------------------------------------------- matching --
@@ -280,15 +295,18 @@ class RegistrationPipeline:
             return
         self.metrics.start(f"matching[{matching_algorithm}]")
         if matching_algorithm == "simple":
-            self.matches = basic_matching(self.scan_descriptors, self.ref_descriptors)
+            self.matches = basic_matching(
+                self.scan_descriptors, self.ref_descriptors, mesh=self._mesh()
+            )
         elif matching_algorithm in ("double", "ratio"):
             self.matches = lowe_matching(
-                self.scan_descriptors, self.ref_descriptors, reject_threshold
+                self.scan_descriptors, self.ref_descriptors, reject_threshold,
+                mesh=self._mesh(),
             )
         elif matching_algorithm == "threshold":
             self.matches = match_descriptors(
                 self.scan_descriptors, self.ref_descriptors, threshold_filter,
-                threshold_multiplier=threshold_multiplier,
+                threshold_multiplier=threshold_multiplier, mesh=self._mesh(),
             )
         else:
             raise ValueError("Incorrect matching algorithm selection.")
@@ -325,14 +343,26 @@ class RegistrationPipeline:
         exact_transformation: RigidTransform | None = None,
     ) -> tuple[RigidTransform, float]:
         self.metrics.start("ransac")
-        ratio, transform = ransac_on_matches(
-            jnp.asarray(self.scan[self.scan_keypoints[self.matches[0]]], jnp.float32),
-            jnp.asarray(self.ref[self.ref_keypoints[self.matches[1]]], jnp.float32),
-            jax.random.key(seed),
-            n_draws=n_draws,
-            draw_size=draw_size,
-            distance_threshold=max_inliers_distance,
-        )
+        scan_m = self.scan[self.scan_keypoints[self.matches[0]]]
+        ref_m = self.ref[self.ref_keypoints[self.matches[1]]]
+        mesh = self._mesh()
+        if mesh is not None:
+            from .parallel.sharded import sharded_ransac
+
+            ratio, transform = sharded_ransac(
+                scan_m, ref_m, jax.random.key(seed), mesh,
+                n_draws=n_draws, draw_size=draw_size,
+                distance_threshold=max_inliers_distance,
+            )
+        else:
+            ratio, transform = ransac_on_matches(
+                jnp.asarray(scan_m, jnp.float32),
+                jnp.asarray(ref_m, jnp.float32),
+                jax.random.key(seed),
+                n_draws=n_draws,
+                draw_size=draw_size,
+                distance_threshold=max_inliers_distance,
+            )
         ratio = float(ratio)
         self.metrics.stop(draws=n_draws)
         if exact_transformation is not None:
@@ -358,20 +388,35 @@ class RegistrationPipeline:
         rms_threshold: float = 1e-2,
     ) -> tuple[RigidTransform, float, bool]:
         self.metrics.start(f"icp[{icp_type}]")
-        if icp_type == "point_to_point":
+        if icp_type not in ("point_to_point", "point_to_plane"):
+            raise ValueError("Incorrect ICP type selected.")
+        mesh = self._mesh()
+        if mesh is not None:
+            from .core.subsampling import grid_subsample
+            from .parallel.sharded import sharded_icp
+            from .registration.icp import IcpHostResult
+
+            sub = grid_subsample(self.scan, voxel_size)
+            tf, rms, conv, n_iters = sharded_icp(
+                np.asarray(self.scan)[sub], self.ref,
+                self.ref_normals if icp_type == "point_to_plane" else None,
+                transformation_init, mesh,
+                d_max=d_max, max_iter=max_iter, rms_threshold=rms_threshold,
+                point_to_plane=(icp_type == "point_to_plane"),
+            )
+            out = IcpHostResult(tf, rms, conv, n_iters)
+        elif icp_type == "point_to_point":
             out = icp_point_to_point(
                 self.scan, self.ref, transformation_init,
                 d_max=d_max, voxel_size=voxel_size,
                 max_iter=max_iter, rms_threshold=rms_threshold,
             )
-        elif icp_type == "point_to_plane":
+        else:
             out = icp_point_to_plane(
                 self.scan, self.ref, self.ref_normals, transformation_init,
                 d_max=d_max, voxel_size=voxel_size,
                 max_iter=max_iter, rms_threshold=rms_threshold,
             )
-        else:
-            raise ValueError("Incorrect ICP type selected.")
         self.metrics.stop(iterations=out.n_iters)
         logger.info(
             "ICP ran %d/%d iterations (converged: %s).",

@@ -83,7 +83,27 @@ def _nonzero_rows(desc: np.ndarray) -> np.ndarray:
     return np.nonzero(np.any(np.asarray(desc), axis=1))[0]
 
 
-def basic_matching(scan_descriptors, ref_descriptors):
+def _use_mesh(mesh) -> bool:
+    return mesh is not None and mesh.devices.size > 1
+
+
+def _top2(a, b, mesh):
+    """(idx, d1, d2) of nearest/second-nearest ``b`` row per ``a`` row —
+    single-chip chunked matmul, or ref tiles riding the ICI ring when a
+    multi-device mesh is given."""
+    if _use_mesh(mesh):
+        from ..parallel.sharded import ring_match
+
+        res = ring_match(np.asarray(a), np.asarray(b), mesh)
+        return res.idx, res.d1, res.d2
+    idx, d1, d2 = top2_descriptor(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.ones(len(b), bool),
+    )
+    return np.asarray(idx), np.asarray(d1), np.asarray(d2)
+
+
+def basic_matching(scan_descriptors, ref_descriptors, mesh=None):
     """Each non-empty scan descriptor matched to its nearest non-empty ref
     descriptor (reference ``basic_matching``, matching/matching.py:149-169).
 
@@ -91,22 +111,30 @@ def basic_matching(scan_descriptors, ref_descriptors):
     """
     scan_nz = _nonzero_rows(scan_descriptors)
     ref_nz = _nonzero_rows(ref_descriptors)
-    a = jnp.asarray(np.asarray(scan_descriptors)[scan_nz], jnp.float32)
-    b = jnp.asarray(np.asarray(ref_descriptors)[ref_nz], jnp.float32)
-    idx, _ = nearest_descriptor(a, b, jnp.ones(b.shape[0], bool))
+    a = np.asarray(scan_descriptors)[scan_nz]
+    b = np.asarray(ref_descriptors)[ref_nz]
+    if _use_mesh(mesh):
+        from ..parallel.sharded import ring_match
+
+        idx = ring_match(a, b, mesh).idx
+    else:
+        idx, _ = nearest_descriptor(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.ones(b.shape[0], bool),
+        )
     return scan_nz, ref_nz[np.asarray(idx)]
 
 
-def lowe_matching(scan_descriptors, ref_descriptors, threshold: float = 0.8, verbose=True):
+def lowe_matching(scan_descriptors, ref_descriptors, threshold: float = 0.8,
+                  verbose=True, mesh=None):
     """Ratio-test matching: keep matches whose nearest/second-nearest distance
     ratio is ≤ ``threshold`` (corrected version of the reference's broken
     ``double_matching_with_rejects``, matching/matching.py:172-221)."""
     scan_nz = _nonzero_rows(scan_descriptors)
     ref_nz = _nonzero_rows(ref_descriptors)
-    a = jnp.asarray(np.asarray(scan_descriptors)[scan_nz], jnp.float32)
-    b = jnp.asarray(np.asarray(ref_descriptors)[ref_nz], jnp.float32)
-    idx, d1, d2 = top2_descriptor(a, b, jnp.ones(b.shape[0], bool))
-    idx, d1, d2 = np.asarray(idx), np.asarray(d1), np.asarray(d2)
+    a = np.asarray(scan_descriptors)[scan_nz]
+    b = np.asarray(ref_descriptors)[ref_nz]
+    idx, d1, d2 = _top2(a, b, mesh)
     ratio = np.divide(d1, d2, out=np.ones_like(d1), where=d2 > 0)
     mask = ratio <= threshold
     if verbose:
@@ -143,6 +171,7 @@ def match_descriptors(
     filter_nonreciprocal: bool = False,
     verbose: bool = True,
     n_min_matches: int = 100,
+    mesh=None,
     **kwargs,
 ):
     """Generic matcher with pluggable distance filters, optional reciprocal
@@ -155,18 +184,33 @@ def match_descriptors(
     if scan_descriptors.ndim == 2:
         scan_nz = _nonzero_rows(scan_descriptors)
         ref_nz = _nonzero_rows(ref_descriptors)
-        a = jnp.asarray(scan_descriptors[scan_nz], jnp.float32)
-        b = jnp.asarray(ref_descriptors[ref_nz], jnp.float32)
-        valid_b = jnp.ones(b.shape[0], bool)
-        idx, dist = nearest_descriptor(a, b, valid_b)
-        idx, dist = np.asarray(idx), np.asarray(dist)
+        a_np = scan_descriptors[scan_nz]
+        b_np = ref_descriptors[ref_nz]
+        if _use_mesh(mesh):
+            from ..parallel.sharded import ring_match
+
+            res = ring_match(a_np, b_np, mesh)
+            idx, dist = res.idx, res.d1
+        else:
+            a = jnp.asarray(a_np, jnp.float32)
+            b = jnp.asarray(b_np, jnp.float32)
+            idx, dist = nearest_descriptor(a, b, jnp.ones(b.shape[0], bool))
+            idx, dist = np.asarray(idx), np.asarray(dist)
         keep = (
             filter_callback(dist, **kwargs)
             if filter_callback is not None
             else np.ones(len(dist), bool)
         )
         if filter_nonreciprocal:
-            back_idx, _ = nearest_descriptor(b, a, jnp.ones(a.shape[0], bool))
+            if _use_mesh(mesh):
+                from ..parallel.sharded import ring_match
+
+                back_idx = ring_match(b_np, a_np, mesh).idx
+            else:
+                back_idx, _ = nearest_descriptor(
+                    jnp.asarray(b_np, jnp.float32), jnp.asarray(a_np, jnp.float32),
+                    jnp.ones(len(a_np), bool),
+                )
             reciprocal = np.asarray(back_idx)[idx] == np.arange(len(idx))
             if (keep & reciprocal).sum() >= n_min_matches:
                 keep = keep & reciprocal
