@@ -35,11 +35,37 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     return np.pad(np.asarray(x), widths), n
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that also works when the sharding spans processes: every
+    process passes the SAME full host array and keeps only its addressable
+    shards (``make_array_from_callback``)."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_rows(x, mesh: Mesh, axis: str = POINTS_AXIS):
     """Place ``x`` row-sharded over the mesh (first axis)."""
     spec = P(axis, *([None] * (np.ndim(x) - 1)))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    return _put(x, NamedSharding(mesh, spec))
 
 
 def replicate(x, mesh: Mesh):
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return _put(x, NamedSharding(mesh, P()))
+
+
+def host_array(x) -> np.ndarray:
+    """Global jax.Array → host NumPy array, multi-process safe.
+
+    Single-process (all shards addressable): plain ``np.asarray`` — no copy
+    overhead beyond the usual device→host transfer.  Multi-process (row
+    shards live on other hosts): all-gather across processes first
+    (``multihost_utils.process_allgather``), so every host returns the same
+    full array — the contract the host-side pipeline logic (match filtering,
+    RANSAC inputs) relies on."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -33,6 +33,87 @@ from .sharded import ring_match, sharded_shot_descriptors
 logger = logging.getLogger(__name__)
 
 
+def run_multihost(
+    scan_file_path: str,
+    ref_file_path: str,
+    *,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    normals_k: int = 20,
+    keypoint_voxel: float = 0.25,
+    descriptor_choice: str = "shot_single_scale",
+    radius: float = 0.5,
+    min_neighborhood_size: int = 10,
+    k_max_descriptor: int = 256,
+    k_max_fpfh: int = 128,
+    reject_threshold: float = 0.9,
+    n_draws: int = 2000,
+    max_inliers_distance: float = 0.1,
+    d_max: float = 0.3,
+    icp_voxel: float = 0.1,
+    max_iter: int = 40,
+    rms_threshold: float = 1e-5,
+) -> dict:
+    """End-to-end multi-host registration (BASELINE config #5).
+
+    Every participating process calls this with its own ``process_id``; the
+    composition is: DCN init → per-host PLY ingest (each host reads its local
+    copy of the files — nothing is broadcast) → sharded normals → keypoints →
+    sharded descriptors → ICI-ring matching → psum RANSAC → psum ICP.
+    The mesh spans all global devices, so collectives ride ICI within a host
+    and DCN across hosts; every host returns the same result dict.
+
+    Reference: single-node only — this fulfils the rebuild's multi-host
+    north-star requirement (SURVEY.md intro, §5 distributed row)."""
+    from ..io.ply import get_data
+    from ..models.normals import compute_normals
+    from ..pipeline import RegistrationPipeline
+
+    initialize_distributed(coordinator_address, num_processes, process_id)
+    mesh = make_mesh()  # all global devices
+
+    def normals_callback(q, c, **kw):
+        return compute_normals(q, c, mesh=mesh, **kw)
+
+    scan, scan_normals = get_data(
+        scan_file_path, k=normals_k, normals_computation_callback=normals_callback
+    )
+    ref, ref_normals = get_data(
+        ref_file_path, k=normals_k, normals_computation_callback=normals_callback
+    )
+
+    pipeline = RegistrationPipeline(
+        scan=scan, scan_normals=scan_normals, ref=ref, ref_normals=ref_normals,
+        k_max_descriptor=k_max_descriptor, k_max_fpfh=k_max_fpfh, mesh=mesh,
+    )
+    pipeline.select_keypoints("subsampling", neighborhood_size=keypoint_voxel)
+    pipeline.compute_descriptors(
+        radius=radius, descriptor_choice=descriptor_choice,
+        subsample_support=False, min_neighborhood_size=min_neighborhood_size,
+    )
+    pipeline.find_descriptors_matches("ratio", reject_threshold=reject_threshold)
+    tf_ransac, inlier_ratio = pipeline.run_ransac(
+        n_draws=n_draws, draw_size=4, max_inliers_distance=max_inliers_distance
+    )
+    tf_icp, rms, converged = pipeline.run_icp(
+        "point_to_plane", tf_ransac, d_max=d_max, voxel_size=icp_voxel,
+        max_iter=max_iter, rms_threshold=rms_threshold,
+    )
+    return {
+        "process_id": jax.process_index(),
+        "process_count": jax.process_count(),
+        "n_devices": jax.device_count(),
+        "rotation": np.asarray(tf_icp.rotation).tolist(),
+        "translation": np.asarray(tf_icp.translation).tolist(),
+        "ransac_inlier_ratio": float(inlier_ratio),
+        "icp_rms": float(rms),
+        "icp_converged": bool(converged),
+        "n_matches": int(len(pipeline.matches[0])),
+        "stages": pipeline.metrics.summary(),
+    }
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -76,39 +157,64 @@ def scaling_report(
     radius: float = 0.9,
     k_max: int = 128,
     device_counts: tuple = (1, 0),
+    stage: str = "shot",
+    reps: int = 3,
 ) -> dict:
-    """Measure sharded-SHOT scaling efficiency across device counts
-    (0 = all devices).  Returns {n_devices: descriptors_per_sec}."""
+    """Measure sharded-stage scaling efficiency across device counts
+    (0 = all devices).  ``stage`` ∈ {"shot", "fpfh", "matching"}.
+    Returns {n_devices: items_per_sec, "efficiency": top/base ratio}.
+
+    The number is only meaningful on real devices (on a virtual CPU mesh the
+    "devices" share the same cores); ``bench.py`` runs this on hardware and
+    the TPU-gated test asserts the ≥80% BASELINE target when ≥2 real chips
+    are visible."""
+    from .sharded import ring_match, sharded_fpfh
+
     rng = np.random.default_rng(0)
     support = rng.normal(size=(n_support, 3)).astype(np.float32) * 4
     normals = rng.normal(size=(n_support, 3))
     normals = (normals / np.linalg.norm(normals, axis=1, keepdims=True)).astype(np.float32)
     keypoints = support[:n_keypoints]
+    kp_idx = np.arange(n_keypoints, dtype=np.int32)
+    rng2 = np.random.default_rng(1)
+    desc_a = rng2.normal(size=(n_keypoints, 352)).astype(np.float32)
+    desc_b = rng2.normal(size=(n_keypoints, 352)).astype(np.float32)
 
     results = {}
     for count in device_counts:
         mesh = make_mesh(count)
         n_dev = mesh.devices.size
 
-        def run():
-            desc = sharded_shot_descriptors(
-                keypoints, support, normals, radius, mesh,
-                k_max=k_max, min_neighborhood_size=5,
-            )
-            return desc
+        if stage == "shot":
+            def run():
+                return sharded_shot_descriptors(
+                    keypoints, support, normals, radius, mesh,
+                    k_max=k_max, min_neighborhood_size=5,
+                )
+        elif stage == "fpfh":
+            def run():
+                return sharded_fpfh(
+                    kp_idx, support, normals, radius, mesh,
+                    n_bins=5, k_max=k_max,
+                )
+        elif stage == "matching":
+            def run():
+                return ring_match(desc_a, desc_b, mesh)
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
 
         run()  # compile
         t0 = time.perf_counter()
-        reps = 3
         for _ in range(reps):
             run()
         per_sec = n_keypoints * reps / (time.perf_counter() - t0)
         results[n_dev] = per_sec
-        logger.info("%d device(s): %.0f descriptors/s", n_dev, per_sec)
-    counts = sorted(results)
+        logger.info("%s, %d device(s): %.0f items/s", stage, n_dev, per_sec)
+    counts = sorted(k for k in results if isinstance(k, int))
     if len(counts) > 1:
         base, top = counts[0], counts[-1]
         eff = results[top] / (results[base] * top / base)
-        logger.info("scaling efficiency %d->%d devices: %.0f%%", base, top, eff * 100)
+        logger.info("%s scaling efficiency %d->%d devices: %.0f%%",
+                    stage, base, top, eff * 100)
         results["efficiency"] = eff
     return results

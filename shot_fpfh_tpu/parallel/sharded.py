@@ -39,7 +39,7 @@ from ..core.solvers import (
 from ..core.transform import RigidTransform
 from ..models.shot import local_reference_frames, shot_from_neighborhoods
 from ..ops.neighbors import radius_search
-from .mesh import POINTS_AXIS, pad_to_multiple, replicate, shard_rows
+from .mesh import POINTS_AXIS, host_array, pad_to_multiple, replicate, shard_rows
 
 
 # ------------------------------------------------------------- descriptors --
@@ -174,7 +174,7 @@ def sharded_shot_descriptors(
 
             desc, rfs_out = compute_rfs(kp, rfs_in, sup, nrm)
 
-    desc_np = np.asarray(desc)[:n_orig]
+    desc_np = host_array(desc)[:n_orig]
     if return_rfs:
         return desc_np, rfs_out  # rfs stay sharded for reuse across scales
     return desc_np
@@ -300,11 +300,11 @@ def sharded_normals(
 
     out = run(q, pre_arg, rep_arg)
     if k is None:
-        return np.asarray(out)[:n_orig]
+        return host_array(out)[:n_orig]
     normals, count = out
-    normals = np.array(normals[:n_orig])  # writable copy for the net below
+    normals = np.array(host_array(normals)[:n_orig])  # writable copy for the net
     # exactness net (one host sync): re-solve under-covered queries exactly
-    missing = np.asarray(count)[:n_orig] < min(k, len(cloud))
+    missing = host_array(count)[:n_orig] < min(k, len(cloud))
     if missing.any():
         from ..ops.eigh3 import pca_eigh as _pca
         from ..ops.neighbors import knn as _knn
@@ -401,8 +401,12 @@ def sharded_fpfh(
         )
 
     spfh_sharded = pass1(q, qn, rep_arg)
-    # the one collective: replicate the SPFH table for pass-2 gathers
-    spfh_rep = jax.device_put(spfh_sharded, NamedSharding(mesh, P()))
+    # the one collective: replicate the SPFH table for pass-2 gathers (a
+    # jitted identity with replicated out_shardings works across processes,
+    # unlike host-side device_put resharding)
+    spfh_rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P())
+    )(spfh_sharded)
 
     kp_pad, n_kp = pad_to_multiple(
         np.asarray(keypoint_indices, np.int32).reshape(-1), n_dev
@@ -427,7 +431,7 @@ def sharded_fpfh(
         return spfh_r[kp_block] + acc / count[:, None]
 
     out = pass2(kp_sh, spfh_rep, cloud_rep, rep_arg)
-    return np.asarray(out)[:n_kp]
+    return host_array(out)[:n_kp]
 
 
 # ------------------------------------------------------------ ring matching --
@@ -505,7 +509,7 @@ def ring_match(
 
     idx, d1, d2 = inner(a, b, bv)
     return RingMatchResult(
-        np.asarray(idx)[:n_scan], np.asarray(d1)[:n_scan], np.asarray(d2)[:n_scan]
+        host_array(idx)[:n_scan], host_array(d1)[:n_scan], host_array(d2)[:n_scan]
     )
 
 

@@ -149,3 +149,31 @@ def test_sharded_shot_grid_path_matches_single_device(mesh):
     single, _ = compute_shot_descriptor(
         kp, pts, normals, 0.8, k_max=128, min_neighborhood_size=3)
     np.testing.assert_allclose(sharded, np.asarray(single), atol=2e-3)
+
+
+def test_scaling_report_fpfh_and_matching_run(mesh):
+    from shot_fpfh_tpu.parallel import scaling_report
+
+    for stage in ("fpfh", "matching"):
+        res = scaling_report(
+            n_keypoints=64, n_support=2000, radius=1.0, k_max=32,
+            device_counts=(0,), stage=stage, reps=1,
+        )
+        assert res[8] > 0
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon") or len(jax.devices()) < 2,
+    reason="scaling efficiency is only meaningful on >=2 real accelerator chips",
+)
+def test_scaling_efficiency_target_on_hardware():
+    """BASELINE north-star: >=80% scaling efficiency on real chips.  Runs in
+    the bench environment whenever a multi-chip host is attached; the virtual
+    CPU mesh shares cores so the number is meaningless there (skipped)."""
+    from shot_fpfh_tpu.parallel import scaling_report
+
+    res = scaling_report(
+        n_keypoints=8192, n_support=50000, radius=0.9, k_max=128,
+        device_counts=(1, 0), stage="shot",
+    )
+    assert res["efficiency"] >= 0.8, f"scaling efficiency {res['efficiency']:.0%}"
