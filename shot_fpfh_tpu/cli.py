@@ -128,6 +128,12 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_debug_nans", True)
 
+    # persistent XLA compile cache: repeat CLI runs on similar cloud pairs
+    # skip the (tunnel-dominated) compile cost entirely
+    from .utils.perf import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # Build the device mesh the pipeline shards over (n_devices=0 means all
     # visible devices; a 1-device mesh degenerates to the single-chip path).
     mesh = None

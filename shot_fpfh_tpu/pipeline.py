@@ -142,15 +142,15 @@ class RegistrationPipeline:
         """Reference API parity (pipeline.py:132-174)."""
         computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
-            self.scan_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+            self.scan_descriptors = computer.compute_descriptor_single_scale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                 radius=radius, subsampling_voxel_size=subsampling_voxel_size,
-            ))
+            )
         if self.ref_descriptors is None or force_recompute:
-            self.ref_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+            self.ref_descriptors = computer.compute_descriptor_single_scale(
                 self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                 radius=radius, subsampling_voxel_size=subsampling_voxel_size,
-            ))
+            )
 
     def compute_shot_descriptor_bi_scale(
         self, local_rf_radius, shot_radius, subsampling_voxel_size=None,
@@ -159,17 +159,17 @@ class RegistrationPipeline:
         """Reference API parity (pipeline.py:176-221)."""
         computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
-            self.scan_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+            self.scan_descriptors = computer.compute_descriptor_bi_scale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                 local_rf_radius=local_rf_radius, shot_radius=shot_radius,
                 subsampling_voxel_size=subsampling_voxel_size,
-            ))
+            )
         if self.ref_descriptors is None or force_recompute:
-            self.ref_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+            self.ref_descriptors = computer.compute_descriptor_bi_scale(
                 self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                 local_rf_radius=local_rf_radius, shot_radius=shot_radius,
                 subsampling_voxel_size=subsampling_voxel_size,
-            ))
+            )
 
     def compute_shot_descriptor_multiscale(
         self, radii, voxel_sizes=None, weights=None, force_recompute=False,
@@ -178,15 +178,15 @@ class RegistrationPipeline:
         """Reference API parity (pipeline.py:223-269)."""
         computer = ShotComputer(k_max=self.k_max_descriptor, mesh=self._mesh(), **shot_config)
         if self.scan_descriptors is None or force_recompute:
-            self.scan_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+            self.scan_descriptors = computer.compute_descriptor_multiscale(
                 self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                 radii=radii, voxel_sizes=voxel_sizes, weights=weights,
-            ))
+            )
         if self.ref_descriptors is None or force_recompute:
-            self.ref_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+            self.ref_descriptors = computer.compute_descriptor_multiscale(
                 self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                 radii=radii, voxel_sizes=voxel_sizes, weights=weights,
-            ))
+            )
 
     def compute_descriptors(
         self,
@@ -217,56 +217,56 @@ class RegistrationPipeline:
             radii = radius * phi ** np.arange(n_scales)
             voxels = radii / rho if subsample_support else None
             if need_scan:
-                self.scan_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                self.scan_descriptors = computer.compute_descriptor_multiscale(
                     self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                     radii=list(radii), voxel_sizes=None if voxels is None else list(voxels),
-                ))
+                )
             if need_ref:
-                self.ref_descriptors = np.asarray(computer.compute_descriptor_multiscale(
+                self.ref_descriptors = computer.compute_descriptor_multiscale(
                     self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                     radii=list(radii), voxel_sizes=None if voxels is None else list(voxels),
-                ))
+                )
         elif descriptor_choice == "shot_bi_scale":
             computer = self._shot_computer(normalize, share_local_rfs, min_neighborhood_size)
             voxel = radius / rho if subsample_support else None
             if need_scan:
-                self.scan_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                self.scan_descriptors = computer.compute_descriptor_bi_scale(
                     self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                     local_rf_radius=radius, shot_radius=radius * phi,
                     subsampling_voxel_size=voxel,
-                ))
+                )
             if need_ref:
-                self.ref_descriptors = np.asarray(computer.compute_descriptor_bi_scale(
+                self.ref_descriptors = computer.compute_descriptor_bi_scale(
                     self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                     local_rf_radius=radius, shot_radius=radius * phi,
                     subsampling_voxel_size=voxel,
-                ))
+                )
         elif descriptor_choice == "shot_single_scale":
             computer = self._shot_computer(normalize, share_local_rfs, min_neighborhood_size)
             voxel = radius / rho if subsample_support else None
             if need_scan:
-                self.scan_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                self.scan_descriptors = computer.compute_descriptor_single_scale(
                     self.scan, self.scan_normals, self.scan[self.scan_keypoints],
                     radius=radius, subsampling_voxel_size=voxel,
-                ))
+                )
             if need_ref:
-                self.ref_descriptors = np.asarray(computer.compute_descriptor_single_scale(
+                self.ref_descriptors = computer.compute_descriptor_single_scale(
                     self.ref, self.ref_normals, self.ref[self.ref_keypoints],
                     radius=radius, subsampling_voxel_size=voxel,
-                ))
+                )
         elif descriptor_choice == "fpfh":
             if need_scan:
-                self.scan_descriptors = np.asarray(compute_fpfh_descriptor(
+                self.scan_descriptors = compute_fpfh_descriptor(
                     self.scan_keypoints, self.scan, self.scan_normals,
                     radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
                     mesh=self._mesh(),
-                ))
+                )
             if need_ref:
-                self.ref_descriptors = np.asarray(compute_fpfh_descriptor(
+                self.ref_descriptors = compute_fpfh_descriptor(
                     self.ref_keypoints, self.ref, self.ref_normals,
                     radius=radius, n_bins=fpfh_n_bins, k_max=self.k_max_fpfh,
                     mesh=self._mesh(),
-                ))
+                )
         else:
             raise ValueError("Incorrect descriptor choice")
         self.metrics.stop(
