@@ -63,6 +63,16 @@ def main() -> None:
     cache_dir = enable_compilation_cache()
     log(f"devices: {jax.devices()} (compilation cache: {cache_dir})")
 
+    # The remote-axon tunnel pays a large ONE-TIME cost on the first
+    # device->host sync of a process (measured 150-675 s, independent of the
+    # program — a tunnel channel warmup, not framework work).  Do a trivial
+    # roundtrip first and report it separately so cold_start measures the
+    # framework (grid build + compiles), which is what a local TPU user pays.
+    t0 = time.perf_counter()
+    float(jnp.zeros(()).sum())
+    tunnel_warmup_s = time.perf_counter() - t0
+    log(f"tunnel warmup (first d2h sync): {tunnel_warmup_s:.1f}s")
+
     rng = np.random.default_rng(0)
     cloud = make_terrain(n_support, rng)
     normals_np = rng.normal(size=(n_support, 3))
@@ -168,6 +178,7 @@ def main() -> None:
         "unit": "descriptors/s (SHOT-352 + NN matching, 50k cloud)",
         "vs_baseline": round(tpu_desc_per_sec / base_desc_per_sec, 2),
         "cold_start_seconds": round(cold_s, 1),
+        "tunnel_warmup_seconds": round(tunnel_warmup_s, 1),
         "warm_seconds_per_call": round(tpu_time, 4),
     }
 
