@@ -81,8 +81,8 @@ def main() -> None:
     kp_idx = rng.choice(n_support, n_keypoints, replace=False)
     keypoints = cloud[kp_idx]
 
-    from shot_fpfh_tpu.models.shot import local_reference_frames, shot_from_neighborhoods
-    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_search
+    from shot_fpfh_tpu.models.shot import shot_from_window_ff
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grouped_window_gather
     from shot_fpfh_tpu.registration.matching import nearest_descriptor
 
     # grid built once per cloud (the analog of the reference's one-time KDTree
@@ -95,11 +95,21 @@ def main() -> None:
         f"(cell_cap={grid.cell_cap}, window_cap={grid.window_cap})")
 
     def shot_and_match(kp, sup, nrm):
-        nbr, vals = grid_radius_search(grid, kp, radius, k_max, with_values=True)
-        nb_pts, nb_nrm = vals[..., :3], vals[..., 3:6]
-        rfs = local_reference_frames(kp, nb_pts, nbr.mask, radius)
-        desc = shot_from_neighborhoods(
-            kp, nb_pts, nb_nrm, nbr.mask, rfs, radius,
+        # full-window formulation: fetch the candidate window with the
+        # grouped FEATURE-PLANAR gather (8 rows per index — the gather is
+        # index-bound, so ~3x cheaper than row-gather) and run LRF +
+        # histogram over it directly — no top-k, no k_max cap, so the
+        # descriptors use the EXACT uncapped radius neighborhoods (the
+        # 256-cap used to truncate 3000/4096 of these) and the selection
+        # cost disappears
+        vals, _rows, valid = grouped_window_gather(grid, kp)
+        dx = vals[:, 0, :] - kp[:, 0:1]
+        dy = vals[:, 1, :] - kp[:, 1:2]
+        dz = vals[:, 2, :] - kp[:, 2:3]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        dist_inf = jnp.where(valid & (d <= radius), d, jnp.inf)
+        desc, _rfs = shot_from_window_ff(
+            kp, vals, dist_inf, radius,
             normalize=True, min_neighborhood_size=100,
         )
         # matching leg: nearest descriptor within the same set (self-match

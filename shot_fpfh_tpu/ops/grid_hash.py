@@ -278,6 +278,74 @@ def _compacted_slots(grid: HashGrid, queries: jnp.ndarray):
     return slots, valid
 
 
+def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
+    """Gather each query's candidate window at ``group``-row granularity.
+
+    XLA's row gather is INDEX-bound (~0.3M indices/ms at any row width up to
+    64 B), so fetching G consecutive rows per index from the table reshaped
+    to ``(N/G, G·F)`` cuts the fetch cost ~G× for the same bytes.  The
+    z-column runs are contiguous, so each run needs ``len/G + 1`` aligned
+    groups; lanes outside a run's true [start, end) are masked (they belong
+    to cells outside the window — without the mask they could duplicate
+    candidates of an adjacent run).
+
+    Returns ``(values (Qc, F, W), rows (Qc, W), valid (Qc, W))`` — values are
+    FEATURE-PLANAR (one (Qc, W) plane per packed feature, the layout
+    ``models.shot.shot_from_window_ff`` consumes) with
+    ``W = (window_cap // G + R) · G``; ``valid`` marks true window rows
+    (radius test NOT applied here).  All intermediates are 2-D (Qc, ·)
+    arrays — a first version with (Qc, GC, G) minor-dim-8 tensors was 2x
+    SLOWER than the plain row gather from lane padding alone."""
+    start, end = _zcolumn_runs(grid, queries)            # (Qc, R)
+    n, f = grid.packed_sorted.shape
+    n_groups_total = -(-n // group)
+    # feature-planar group rows: [x0..x{G-1}, y0.., z0.., nx0.., ...]
+    table = jnp.pad(
+        grid.packed_sorted, ((0, n_groups_total * group - n), (0, 0)),
+        constant_values=3.0e6,  # far sentinel: fails any radius test
+    ).reshape(n_groups_total, group, f).transpose(0, 2, 1).reshape(
+        n_groups_total, f * group
+    )
+
+    gs = start // group
+    ge = -(-end // group)
+    cnt = jnp.where(end > start, ge - gs, 0)
+    cum = jnp.cumsum(cnt, axis=1)
+    excl = cum - cnt
+    total = cum[:, -1]
+
+    r = (2 * grid.halo + 1) ** 2
+    gc = grid.window_cap // group + r                    # static group cap
+    j = jnp.arange(gc, dtype=jnp.int32)[None, :]
+    base = jnp.zeros((queries.shape[0], gc), jnp.int32)
+    s_lane = jnp.zeros((queries.shape[0], gc), jnp.int32)
+    e_lane = jnp.zeros((queries.shape[0], gc), jnp.int32)
+    for c in range(r):
+        inrun = (j >= excl[:, c:c + 1]) & (j < cum[:, c:c + 1])
+        base = base + inrun * (gs[:, c:c + 1] - excl[:, c:c + 1])
+        s_lane = s_lane + inrun * start[:, c:c + 1]
+        e_lane = e_lane + inrun * end[:, c:c + 1]
+    group_idx = base + j
+    lane_valid = j < total[:, None]
+    group_idx = jnp.where(lane_valid, jnp.minimum(group_idx, n_groups_total - 1), 0)
+
+    gathered = table[group_idx]                          # (Qc, gc, F*G)
+    qc = queries.shape[0]
+    w = gc * group
+    # per-feature planes: slice G contiguous columns, then merge minor dims —
+    # every result is a clean (Qc, W) 2-D array
+    vals = jnp.stack(
+        [gathered[:, :, k * group:(k + 1) * group].reshape(qc, w)
+         for k in range(f)], axis=1,
+    )                                                    # (Qc, F, W)
+    rep = lambda x: jnp.repeat(x, group, axis=1)         # noqa: E731
+    rows = rep(group_idx * group) + jnp.tile(
+        jnp.arange(group, dtype=jnp.int32), gc
+    )[None, :]
+    valid = rep(lane_valid) & (rows >= rep(s_lane)) & (rows < rep(e_lane))
+    return vals, rows, valid
+
+
 def _candidate_slots(grid: HashGrid, queries: jnp.ndarray):
     """Fallback fixed layout (27 slots x cell_cap) for table-less grids."""
     cap = grid.cell_cap

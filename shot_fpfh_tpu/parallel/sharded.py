@@ -71,7 +71,7 @@ def sharded_shot_descriptors(
     previous call — pass the array returned by ``return_rfs=True``, which
     stays row-sharded on the mesh so no cross-device traffic occurs when
     chaining scales over the same keypoints."""
-    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
     n_dev = mesh.devices.size
     kp_padded, n_orig = pad_to_multiple(np.asarray(keypoints, np.float32), n_dev)
@@ -106,15 +106,39 @@ def sharded_shot_descriptors(
 
     rf_spec = P(POINTS_AXIS, None, None)
     if use_grid:
+        from ..models.shot import _local_rfs_ff, shot_from_window_ff
+        from ..ops.grid_hash import grouped_window_gather
+
         max_r = float(radius) if rf_radius is None else float(max(radius, rf_radius))
         grid = build_grid(np.asarray(support, np.float32), max_r / 2,
                           extras=np.asarray(normals, np.float32), halo=2)
         grid = jax.tree_util.tree_map(lambda x: replicate(np.asarray(x), mesh), grid)
         grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
 
-        def grid_search(grid_rep):
-            return lambda q, r: grid_radius_search(grid_rep, q, r, k_max,
-                                                   with_values=True)
+        def window_body(kp_block, rfs_block, grid_rep):
+            # grouped feature-planar window fetch + no-top-k SHOT — the same
+            # exact-uncapped formulation as the single-device grid path
+            vals, _rows, win_ok = grouped_window_gather(grid_rep, kp_block)
+            dx = vals[:, 0, :] - kp_block[:, 0:1]
+            dy = vals[:, 1, :] - kp_block[:, 1:2]
+            dz = vals[:, 2, :] - kp_block[:, 2:3]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            if rfs_block is None and rf_radius is not None:
+                ok_rf = win_ok & (d <= rf_radius)
+                centered = jnp.where(
+                    ok_rf[:, None, :],
+                    vals[:, :3, :] - kp_block[:, :, None], 0.0,
+                )
+                rfs_block = _local_rfs_ff(
+                    centered, jnp.where(ok_rf, d, 0.0), ok_rf, rf_radius
+                )
+            dist_inf = jnp.where(win_ok & (d <= radius), d, jnp.inf)
+            return shot_from_window_ff(
+                kp_block, vals, dist_inf, radius,
+                normalize=normalize,
+                min_neighborhood_size=min_neighborhood_size,
+                local_rfs=rfs_block,
+            )
 
         if rfs_in is None:
             @jax.jit
@@ -124,7 +148,7 @@ def sharded_shot_descriptors(
                 out_specs=(P(POINTS_AXIS, None), rf_spec),
             )
             def compute_grid(kp_block, grid_rep):
-                return body(kp_block, None, grid_search(grid_rep))
+                return window_body(kp_block, None, grid_rep)
 
             desc, rfs_out = compute_grid(kp, grid)
         else:
@@ -135,7 +159,7 @@ def sharded_shot_descriptors(
                 out_specs=(P(POINTS_AXIS, None), rf_spec),
             )
             def compute_grid_rfs(kp_block, rfs_block, grid_rep):
-                return body(kp_block, rfs_block, grid_search(grid_rep))
+                return window_body(kp_block, rfs_block, grid_rep)
 
             desc, rfs_out = compute_grid_rfs(kp, rfs_in, grid)
     else:
@@ -349,7 +373,7 @@ def sharded_fpfh(
     exactly (same grid, same radius, same cap)."""
     from jax.sharding import NamedSharding
     from ..models.fpfh import _spfh_from_values
-    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
     n_dev = mesh.devices.size
     cloud = np.asarray(cloud_points, np.float32)

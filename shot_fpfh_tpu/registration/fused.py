@@ -46,15 +46,26 @@ class FusedResult(NamedTuple):
 
 def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None):
     if grid is not None:
-        # grid path: compacted candidate scan + fused [points | normals]
-        # value gather (requires the grid built with extras=normals)
-        nbr, vals = grid_radius_search(grid, kp, radius, k_max, with_values=True)
-        mask = nbr.mask & valid[:, None]
-        nb_pts, nb_nrm = vals[..., :3], vals[..., 3:6]
-    else:
-        nbr = radius_search(kp, sup, radius, k_max)
-        mask = nbr.mask & valid[:, None]
-        nb_pts, nb_nrm = sup[nbr.idx], nrm[nbr.idx]
+        # grid path: grouped feature-planar window fetch, no top-k — the
+        # exact uncapped radius neighborhoods at ~2x the selected-k
+        # throughput (requires the grid built with extras=normals)
+        from ..models.shot import shot_from_window_ff
+        from ..ops.grid_hash import grouped_window_gather
+
+        vals, _rows, win_ok = grouped_window_gather(grid, kp)
+        dx = vals[:, 0, :] - kp[:, 0:1]
+        dy = vals[:, 1, :] - kp[:, 1:2]
+        dz = vals[:, 2, :] - kp[:, 2:3]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        ok = win_ok & (d <= radius) & valid[:, None]
+        desc, _rfs = shot_from_window_ff(
+            kp, vals, jnp.where(ok, d, jnp.inf), radius,
+            normalize=True, min_neighborhood_size=min_nb,
+        )
+        return desc
+    nbr = radius_search(kp, sup, radius, k_max)
+    mask = nbr.mask & valid[:, None]
+    nb_pts, nb_nrm = sup[nbr.idx], nrm[nbr.idx]
     rfs = local_reference_frames(kp, nb_pts, mask, radius)
     return shot_from_neighborhoods(
         kp, nb_pts, nb_nrm, mask, rfs, radius,

@@ -205,3 +205,44 @@ def test_shot_bi_scale_driver(rng):
     d = comp.compute_descriptor_bi_scale(pts, normals, pts[:6], 1.0, 2.0)
     assert d.shape == (6, 352)
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_grid_window_path_matches_bruteforce_uncapped(rng):
+    """Above the auto-grid threshold compute_shot_descriptor switches to the
+    full-window (no top-k, uncapped) formulation; it must agree with the
+    brute-force path given an ample k cap."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.models.shot import (
+        _shot_from_values,
+        local_reference_frames,
+        compute_shot_descriptor,
+    )
+    from shot_fpfh_tpu.ops import grid_hash
+    from shot_fpfh_tpu.ops.neighbors import radius_search
+
+    n = grid_hash.AUTO_GRID_MIN_POINTS + 500
+    xy = rng.uniform(-8, 8, size=(n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    radius = 0.6
+    q = pts[:192]
+
+    desc_grid, rfs = compute_shot_descriptor(
+        q, pts, nrm, radius, min_neighborhood_size=5
+    )
+    # brute-force reference with a cap far above any neighborhood size
+    nbr = radius_search(jnp.asarray(q), jnp.asarray(pts), radius, 512)
+    assert int(np.asarray(nbr.count).max()) < 512
+    rfs_b = local_reference_frames(
+        jnp.asarray(q), jnp.asarray(pts)[nbr.idx], nbr.mask, radius
+    )
+    desc_brute, _ = _shot_from_values(
+        jnp.asarray(q), jnp.asarray(pts)[nbr.idx], jnp.asarray(nrm)[nbr.idx],
+        nbr.mask, rfs_b, radius, True, 5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(desc_grid), np.asarray(desc_brute), atol=2e-3
+    )

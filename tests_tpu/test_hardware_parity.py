@@ -1,0 +1,78 @@
+"""Pallas kernels vs XLA on REAL TPU hardware.
+
+The CPU suite exercises these kernels through the Pallas interpreter, which
+does not verify the Mosaic lowering constraints the kernels work around
+(SMEM scalar reads, i1 selects, custom atan2, DMA lane alignment).  These
+tests assert kernel-vs-XLA agreement on hardware so a silent Mosaic
+regression fails loudly (ADVICE r1 #4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _cloud(n=20000, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-6, 6, size=(n, 2))
+    z = 0.5 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]) + rng.normal(scale=0.01, size=(n, 3))
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts.astype(np.float32), nrm.astype(np.float32)
+
+
+def test_radius_pca_pallas_matches_xla_on_tpu():
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
+    from shot_fpfh_tpu.ops.pallas_radius import radius_pca_pallas
+
+    pts, nrm = _cloud()
+    radius = 0.7
+    grid = build_grid(pts, radius)
+    q = jnp.asarray(pts[:2048])
+    cov_p, bary_p, cnt_p = radius_pca_pallas(grid, q, radius)
+    cov_x, bary_x, cnt_x = grid_radius_pca(grid, q, radius)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    np.testing.assert_allclose(np.asarray(bary_p), np.asarray(bary_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_x), atol=1e-4)
+
+
+def test_radius_search_pallas_matches_xla_on_tpu():
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_search
+    from shot_fpfh_tpu.ops.pallas_radius import grid_radius_search_pallas
+
+    pts, nrm = _cloud(n=15000, seed=1)
+    radius = 0.6
+    grid = build_grid(pts, radius, extras=nrm)
+    q = jnp.asarray(pts[:1024])
+    a, va = grid_radius_search(grid, q, radius, 64, with_values=True)
+    b, vb = grid_radius_search_pallas(grid, q, radius, 64, with_values=True)
+    # same candidate set: compare sorted (idx, dist) pairs per query
+    np.testing.assert_array_equal(
+        np.asarray(a.mask).sum(axis=1), np.asarray(b.mask).sum(axis=1)
+    )
+    for arr_a, arr_b in ((a.dist, b.dist),):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(arr_a), axis=1),
+            np.sort(np.asarray(arr_b), axis=1),
+            atol=1e-5,
+        )
+
+
+def test_pallas_shot_matches_xla_on_tpu():
+    from shot_fpfh_tpu.models.shot import compute_shot_descriptor
+    from shot_fpfh_tpu.ops.pallas_shot import shot_descriptor_pallas
+    from shot_fpfh_tpu.ops.grid_hash import build_grid
+
+    pts, nrm = _cloud(n=8000, seed=2)
+    radius = 0.8
+    q = pts[:256]
+    grid = build_grid(pts, radius, extras=nrm)
+    desc_p, _rfs = shot_descriptor_pallas(
+        grid, jnp.asarray(q), radius, min_neighborhood_size=5
+    )
+    desc_x, _ = compute_shot_descriptor(
+        q, pts, nrm, radius, k_max=2048, min_neighborhood_size=5
+    )
+    np.testing.assert_allclose(
+        np.asarray(desc_p), np.asarray(desc_x), atol=2e-3
+    )
