@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.histogram import batched_histogram, bin_index, factored_histogram
 from ..ops.grid_hash import radius_search_with_values_auto
@@ -138,6 +139,131 @@ def _spfh_from_values(cloud, nrm, p_j, n_j, d, mask, radius, n_bins, decorrelate
     return spfh / count[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Grid-window formulation (large clouds): grouped feature-planar windows, no
+# top-k — SPFH computed over the EXACT uncapped radius neighborhood in SORTED
+# order so the aggregation pass re-gathers neighbor SPFH rows with the same
+# grouped indices.  Mirrors the SHOT window path (models/shot.py).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "decorrelated", "chunk"))
+def _spfh_window_sorted(grid, radius, n_bins: int, decorrelated: bool,
+                        chunk: int = 8192):
+    """SPFH for every cloud point, in grid-SORTED order.  Returns
+    (N_pad, D)."""
+    from ..ops.grid_hash import grouped_window_gather
+
+    pts = grid.packed_sorted[:, :3]
+    nrm = grid.packed_sorted[:, 3:6]
+    n = pts.shape[0]
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    pts_p = jnp.pad(pts, ((0, padded - n), (0, 0)), constant_values=1.0e6)
+    nrm_p = jnp.pad(nrm, ((0, padded - n), (0, 0)))
+
+    def one(args):
+        return _spfh_window_block(grid, args[0], args[1], radius, n_bins,
+                                  decorrelated)
+
+    out = jax.lax.map(one, (pts_p.reshape(n_chunks, chunk, 3),
+                            nrm_p.reshape(n_chunks, chunk, 3)))
+    return out.reshape(padded, -1)
+
+
+def _spfh_window_block(grid, qc, qn, radius, n_bins, decorrelated):
+    """One SPFH block over grouped feature-planar windows (shared by the
+    single-device chunked pass and the sharded pass)."""
+    from ..ops.grid_hash import grouped_window_gather
+
+    vals, _rows, win_ok = grouped_window_gather(grid, qc)
+    dx = vals[:, 0, :] - qc[:, 0:1]
+    dy = vals[:, 1, :] - qc[:, 1:2]
+    dz = vals[:, 2, :] - qc[:, 2:3]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    ok = win_ok & (d <= radius)
+    valid = ok & (d > 0)
+    ux, uy, uz = qn[:, 0:1], qn[:, 1:2], qn[:, 2:3]
+    # Darboux frame, feature-planar: v = diff x u (unnormalized, as the
+    # reference), w = u x v
+    vx = dy * uz - dz * uy
+    vy = dz * ux - dx * uz
+    vz = dx * uy - dy * ux
+    wx = uy * vz - uz * vy
+    wy = uz * vx - ux * vz
+    wz = ux * vy - uy * vx
+    nx, ny, nz = vals[:, 3, :], vals[:, 4, :], vals[:, 5, :]
+    alpha = vx * nx + vy * ny + vz * nz
+    phi = (dx * ux + dy * uy + dz * uz) / jnp.where(valid, d, 1.0)
+    theta = jnp.arctan2(nx * wx + ny * wy + nz * wz,
+                        nx * ux + ny * uy + nz * uz)
+
+    a_bin, a_in = bin_index(alpha, -1.0, 1.0, n_bins)
+    p_bin, p_in = bin_index(phi, -1.0, 1.0, n_bins)
+    t_bin, t_in = bin_index(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
+    count = jnp.maximum(jnp.sum(ok, axis=-1), 1).astype(jnp.float32)
+    if decorrelated:
+        parts = []
+        for b, in_r in ((a_bin, a_in), (p_bin, p_in), (t_bin, t_in)):
+            wgt = (valid & in_r).astype(jnp.float32)
+            parts.append(batched_histogram(b, wgt, n_bins))
+        spfh_c = jnp.stack(parts, axis=-1).reshape(qc.shape[0], 3 * n_bins)
+    else:
+        wgt = (valid & a_in & p_in & t_in).astype(jnp.float32)
+        spfh_c = factored_histogram(
+            a_bin, p_bin * n_bins + t_bin, wgt, n_bins, n_bins**2
+        )
+    return spfh_c / count[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "kp_chunk"))
+def _fpfh_window_aggregate(grid, spfh_sorted, kp_sorted_idx, radius,
+                           group: int = 8, kp_chunk: int = 4096):
+    """FPFH(p) = SPFH(p) + (Σ_{j,d>0} SPFH(j)/d_j) / |N(p)| with neighbor
+    SPFH rows fetched by the SAME grouped window indices as the search."""
+    n, d_dim = spfh_sorted.shape[0], spfh_sorted.shape[1]
+    ng = -(-n // group)
+    spfh_g = jnp.pad(
+        spfh_sorted, ((0, ng * group - n), (0, 0))
+    ).reshape(ng, group * d_dim)
+
+    n_kp = kp_sorted_idx.shape[0]
+    n_chunks = -(-n_kp // kp_chunk)
+    padded = n_chunks * kp_chunk
+    kp_p = jnp.pad(kp_sorted_idx, (0, padded - n_kp)).reshape(n_chunks, kp_chunk)
+
+    def one(kp_c):
+        return _fpfh_window_agg_block(grid, spfh_sorted, spfh_g, kp_c,
+                                      radius, group)
+
+    out = jax.lax.map(one, kp_p)
+    return out.reshape(padded, -1)[:n_kp]
+
+
+def _fpfh_window_agg_block(grid, spfh_sorted, spfh_g, kp_c, radius, group):
+    """One FPFH-aggregation block: neighbor SPFH rows fetched with the same
+    grouped window indices as the search (shared by single-device/sharded)."""
+    from ..ops.grid_hash import grouped_window_gather
+
+    d_dim = spfh_sorted.shape[1]
+    qc = grid.packed_sorted[kp_c, :3]
+    vals, rows, win_ok = grouped_window_gather(grid, qc, group=group)
+    dx = vals[:, 0, :] - qc[:, 0:1]
+    dy = vals[:, 1, :] - qc[:, 1:2]
+    dz = vals[:, 2, :] - qc[:, 2:3]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    ok = win_ok & (d <= radius)
+    m = ok & (d > 0)
+    wt = jnp.where(m, 1.0 / jnp.where(m, d, 1.0), 0.0)   # (C, W)
+    gc = rows.shape[1] // group
+    grp_idx = rows[:, ::group] // group                  # (C, GC)
+    nb_spfh = spfh_g[grp_idx]                            # (C, GC, G*D)
+    nb_spfh = nb_spfh.reshape(qc.shape[0], gc, group, d_dim)
+    acc = jnp.einsum("cgid,cgi->cd", nb_spfh,
+                     wt.reshape(qc.shape[0], gc, group))
+    count = jnp.maximum(jnp.sum(ok, axis=-1), 1).astype(jnp.float32)
+    return spfh_sorted[kp_c] + acc / count[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("kp_chunk",))
 def _fpfh_aggregate(spfh, nbr_idx, nbr_dist, nbr_mask, keypoint_indices, kp_chunk: int = 256):
     """FPFH(p) = SPFH(p) + (Σ_{j, d>0} SPFH(j)/d_j) / |N(p)| over keypoints."""
@@ -183,6 +309,21 @@ def compute_fpfh_descriptor(
             keypoint_indices, cloud_points, normals, radius, mesh,
             n_bins=n_bins, k_max=k_max, decorrelated=decorrelated,
         )
+    from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
+
+    cloud = jnp.asarray(cloud_points, jnp.float32)
+    if cloud.shape[0] >= AUTO_GRID_MIN_POINTS:
+        # grid-window formulation: exact uncapped neighborhoods, no top-k;
+        # SPFH computed in sorted order so aggregation reuses the grouped
+        # window indices for neighbor-SPFH fetches
+        grid = build_grid(np.asarray(cloud), float(radius) / 2,
+                          extras=np.asarray(normals, np.float32), halo=2)
+        spfh_sorted = _spfh_window_sorted(grid, radius, n_bins, decorrelated)
+        inv_perm = jnp.zeros(cloud.shape[0], jnp.int32).at[grid.orig_idx].set(
+            jnp.arange(cloud.shape[0], dtype=jnp.int32)
+        )
+        kp_sorted = inv_perm[jnp.asarray(keypoint_indices, jnp.int32)]
+        return _fpfh_window_aggregate(grid, spfh_sorted, kp_sorted, radius)
     spfh, nbr = compute_spfh(cloud_points, normals, radius, n_bins, k_max, decorrelated)
     kp = jnp.asarray(keypoint_indices, jnp.int32)
     return _fpfh_aggregate(spfh, nbr.idx, nbr.dist, nbr.mask, kp)

@@ -392,29 +392,84 @@ def sharded_fpfh(
 
     use_grid = n >= AUTO_GRID_MIN_POINTS
     if use_grid:
+        # grid-window formulation (matches the single-device large-cloud
+        # path): SPFH computed over EXACT uncapped windows in grid-sorted
+        # order, sharded by row index; the aggregation re-gathers neighbor
+        # SPFH with the same grouped window indices
+        from ..models.fpfh import _fpfh_window_agg_block, _spfh_window_block
+
         grid = build_grid(cloud, float(radius) / 2, extras=nrm, halo=2)
+        orig_idx_np = np.asarray(grid.orig_idx)
         grid = jax.tree_util.tree_map(lambda x: replicate(np.asarray(x), mesh), grid)
         grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
 
-        def search(grid_rep, qb):
-            return grid_radius_search(grid_rep, qb, radius, k_max, with_values=True)
+        chunk = 4096
+        per_dev = -(-n // (n_dev * chunk)) * chunk
+        n_pad = per_dev * n_dev
+        idx_sh = shard_rows(np.arange(n_pad, dtype=np.int32), mesh)
 
-        rep_arg, rep_spec = grid, grid_specs
-    else:
-        packed = np.concatenate([cloud, nrm], axis=1)
-        packed_rep = replicate(packed, mesh)
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(POINTS_AXIS), grid_specs),
+            out_specs=P(POINTS_AXIS, None),
+        )
+        def pass1(idx_blk, grid_rep):
+            def one(ib):
+                safe = jnp.minimum(ib, n - 1)
+                rowvals = grid_rep.packed_sorted[safe]
+                qc = jnp.where((ib < n)[:, None], rowvals[:, :3], 1.0e6)
+                return _spfh_window_block(
+                    grid_rep, qc, rowvals[:, 3:6], radius, n_bins, decorrelated
+                )
 
-        def search(packed_r, qb):
-            nbr = radius_search(qb, packed_r[:, :3], radius, k_max)
-            vals = jnp.where(nbr.mask[..., None], packed_r[nbr.idx], 0.0)
-            return nbr, vals
+            m = idx_blk.shape[0] // chunk
+            out = jax.lax.map(one, idx_blk.reshape(m, chunk))
+            return out.reshape(idx_blk.shape[0], -1)
 
-        rep_arg, rep_spec = packed_rep, P()
+        spfh_sharded = pass1(idx_sh, grid)
+        # the one collective: replicate the SPFH table for pass-2 gathers (a
+        # jitted identity with replicated out_shardings works across
+        # processes, unlike host-side device_put resharding)
+        spfh_rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )(spfh_sharded)
+
+        inv = np.empty(n, np.int32)
+        inv[orig_idx_np] = np.arange(n, dtype=np.int32)
+        kp_sorted = inv[np.asarray(keypoint_indices, np.int32).reshape(-1)]
+        kp_pad, n_kp = pad_to_multiple(kp_sorted, n_dev)
+        kp_sh = shard_rows(kp_pad, mesh)
+        group = 8
+        ng = -(-n // group)
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(POINTS_AXIS), P(), grid_specs),
+            out_specs=P(POINTS_AXIS, None),
+        )
+        def pass2(kp_blk, spfh_r, grid_rep):
+            spfh_g = spfh_r[:ng * group].reshape(ng, group * spfh_r.shape[1])
+            return _fpfh_window_agg_block(
+                grid_rep, spfh_r, spfh_g, kp_blk, radius, group
+            )
+
+        out = pass2(kp_sh, spfh_rep, grid)
+        return host_array(out)[:n_kp]
+
+    packed = np.concatenate([cloud, nrm], axis=1)
+    packed_rep = replicate(packed, mesh)
+
+    def search(packed_r, qb):
+        nbr = radius_search(qb, packed_r[:, :3], radius, k_max)
+        vals = jnp.where(nbr.mask[..., None], packed_r[nbr.idx], 0.0)
+        return nbr, vals
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS, None), rep_spec),
+        in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS, None), P()),
         out_specs=P(POINTS_AXIS, None),
     )
     def pass1(q_block, qn_block, rep):
@@ -424,10 +479,7 @@ def sharded_fpfh(
             nbr.mask, radius, n_bins, decorrelated,
         )
 
-    spfh_sharded = pass1(q, qn, rep_arg)
-    # the one collective: replicate the SPFH table for pass-2 gathers (a
-    # jitted identity with replicated out_shardings works across processes,
-    # unlike host-side device_put resharding)
+    spfh_sharded = pass1(q, qn, packed_rep)
     spfh_rep = jax.jit(
         lambda x: x, out_shardings=NamedSharding(mesh, P())
     )(spfh_sharded)
@@ -441,7 +493,7 @@ def sharded_fpfh(
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(POINTS_AXIS), P(), P(), rep_spec),
+        in_specs=(P(POINTS_AXIS), P(), P(), P()),
         out_specs=P(POINTS_AXIS, None),
     )
     def pass2(kp_block, spfh_r, cloud_r, rep):
@@ -454,7 +506,7 @@ def sharded_fpfh(
         count = jnp.maximum(jnp.sum(nbr.mask, axis=-1), 1).astype(jnp.float32)
         return spfh_r[kp_block] + acc / count[:, None]
 
-    out = pass2(kp_sh, spfh_rep, cloud_rep, rep_arg)
+    out = pass2(kp_sh, spfh_rep, cloud_rep, packed_rep)
     return host_array(out)[:n_kp]
 
 

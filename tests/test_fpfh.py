@@ -116,3 +116,43 @@ def test_fpfh_streamed_large_cloud_branch(monkeypatch, rng):
     monkeypatch.setattr(gh, "AUTO_GRID_MIN_POINTS", 10)
     streamed = np.asarray(compute_fpfh_descriptor(kp, pts, nrm, 0.8, n_bins=5, k_max=64))
     assert np.allclose(dense, streamed, atol=1e-4)
+
+
+def test_grid_window_fpfh_matches_bruteforce(rng):
+    """Above the auto-grid threshold FPFH switches to the grouped-window
+    (no top-k, uncapped) formulation; must agree with the brute path given
+    an ample k cap."""
+    from shot_fpfh_tpu.models.fpfh import compute_fpfh_descriptor
+    from shot_fpfh_tpu.ops import grid_hash
+
+    n = grid_hash.AUTO_GRID_MIN_POINTS + 500
+    xy = rng.uniform(-10, 10, size=(n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    kp_idx = np.arange(0, n, 97, dtype=np.int32)
+    radius = 0.5
+
+    grid_desc = np.asarray(compute_fpfh_descriptor(
+        kp_idx, pts, nrm, radius=radius, n_bins=5
+    ))
+
+    # brute reference on a small-cloud-path clone: temporarily lower nothing —
+    # run compute_spfh/_fpfh_aggregate directly with a generous cap
+    from shot_fpfh_tpu.models.fpfh import _fpfh_aggregate, _spfh_from_values
+    from shot_fpfh_tpu.ops.neighbors import radius_search
+    import jax.numpy as jnp
+
+    cloud = jnp.asarray(pts)
+    nrmj = jnp.asarray(nrm)
+    nbr = radius_search(cloud, cloud, radius, 256)
+    assert int(np.asarray(nbr.count).max()) < 256
+    vals_p = cloud[nbr.idx]
+    vals_n = nrmj[nbr.idx]
+    spfh = _spfh_from_values(cloud, nrmj, vals_p, vals_n, nbr.dist, nbr.mask,
+                             radius, 5, False)
+    brute = np.asarray(_fpfh_aggregate(
+        spfh, nbr.idx, nbr.dist, nbr.mask, jnp.asarray(kp_idx)
+    ))
+    np.testing.assert_allclose(grid_desc, brute, atol=2e-3)

@@ -153,3 +153,23 @@ def test_cli_n_devices_same_transform(tmp_path):
     moved1 = np.vstack([out1["x"], out1["y"], out1["z"]]).T
     moved8 = np.vstack([out8["x"], out8["y"], out8["z"]]).T
     np.testing.assert_allclose(moved8, moved1, atol=1e-3)
+
+
+def test_sharded_fpfh_grid_path_matches_single_device(mesh):
+    """Above the auto-grid threshold both the sharded and single-device FPFH
+    use the grouped-window (uncapped) formulation and must agree."""
+    rng = np.random.default_rng(8)
+    from shot_fpfh_tpu.ops import grid_hash
+
+    n = grid_hash.AUTO_GRID_MIN_POINTS + 500
+    xy = rng.uniform(-10, 10, size=(n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    kp_idx = np.arange(0, n, 151, dtype=np.int32)
+    single = np.asarray(compute_fpfh_descriptor(
+        kp_idx, pts, nrm, radius=0.5, n_bins=5
+    ))
+    multi = sharded_fpfh(kp_idx, pts, nrm, 0.5, mesh, n_bins=5)
+    np.testing.assert_allclose(multi, single, atol=1e-4)
