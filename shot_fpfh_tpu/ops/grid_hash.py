@@ -123,6 +123,15 @@ def _build_device(points: jnp.ndarray, cell_size):
     return pts[orig_idx], orig_idx, ids_sorted, origin, dims, cell_size, jnp.max(counts)
 
 
+@functools.partial(jax.jit, static_argnames=("padded_len",))
+def _cell_starts_device(ids_sorted: jnp.ndarray, padded_len: int) -> jnp.ndarray:
+    """Cell-id → first-sorted-row lookup table, built on device in one
+    program (ids past the largest cell id resolve to n automatically)."""
+    return jnp.searchsorted(
+        ids_sorted, jnp.arange(padded_len, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+
 def _window_caps(cell_starts: np.ndarray, dims_np: np.ndarray, n: int,
                  halo: int = 1):
     """(max (2h+1)^3-window occupancy, max (2h+1)-z-column occupancy) —
@@ -173,11 +182,13 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
     n_cells = int(dims_np[0]) * int(dims_np[1]) * int(dims_np[2])
     has_table = 0 < n_cells <= max(8 * n, 1 << 24)
     if has_table:
-        # Table construction runs on the HOST: one (N,) id download + one
-        # (n_cells,) table upload replaces a chain of ~30 eager device
-        # dispatches (searchsorted, diffs, box sums) that each cost a tunnel
-        # round trip + a per-dims compile on remote-attached TPUs (measured
-        # 238 s cold at 50k points; host path is <1 s + two transfers).
+        # Window/column caps run on the HOST from one (N,) id download — the
+        # device formulation was a chain of ~30 eager dispatches (diffs, box
+        # sums) that each cost a tunnel round trip + a per-dims compile on
+        # remote-attached TPUs (measured 238 s cold at 50k points).  The
+        # cell-start lookup table itself is built ON DEVICE with one jitted
+        # searchsorted: uploading the host table is 4 B/cell (a 16M-cell
+        # pow2-padded table = 67 MB ≈ 7 s through the tunnel at 1M points).
         ids_np = np.asarray(ids_sorted)
         cell_starts_np = np.searchsorted(
             ids_np, np.arange(n_cells + 1, dtype=np.int64), side="left"
@@ -188,16 +199,12 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         wcap = int(np.ceil(max(wcap_raw, 1) / 64) * 64)
         wcap = min(wcap, int(np.ceil(n / 8) * 8))
         col_cap = int(np.ceil(max(col_raw, 1) / 64) * 64)
-        # shape bucketing: pad the table length to the next power of two (the
-        # pad holds n = empty cells past the end) so clouds with slightly
-        # different extents/radii reuse compiled query programs
+        # shape bucketing: pad the table length to the next power of two
+        # (searchsorted past the last id naturally yields n = empty) so
+        # clouds with slightly different extents/radii reuse compiled query
+        # programs
         padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
-        if padded_len > n_cells + 1:
-            cell_starts_np = np.concatenate([
-                cell_starts_np,
-                np.full((padded_len - n_cells - 1,), n, np.int32),
-            ])
-        cell_starts = jnp.asarray(cell_starts_np)
+        cell_starts = _cell_starts_device(ids_sorted, padded_len)
     else:
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = (2 * halo + 1) ** 3 * cap
@@ -466,9 +473,20 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
 
     def one_chunk(qc):
         if grid.has_table:
-            slots, valid = _compacted_slots(grid, qc)
-        else:
-            slots, valid = _candidate_slots(grid, qc)
+            # grouped feature-planar fetch: ~3x the row-gather rate
+            vals, rows, valid = grouped_window_gather(grid, qc)
+            dx = vals[:, 0, :] - qc[:, 0:1]
+            dy = vals[:, 1, :] - qc[:, 1:2]
+            dz = vals[:, 2, :] - qc[:, 2:3]
+            masked = jnp.where(valid, dx * dx + dy * dy + dz * dz, jnp.inf)
+            pos = jnp.argmin(masked, axis=-1)
+            best = jnp.sqrt(
+                jnp.take_along_axis(masked, pos[:, None], axis=1)[:, 0]
+            )
+            row = jnp.take_along_axis(rows, pos[:, None], axis=1)[:, 0]
+            idx = grid.orig_idx[jnp.minimum(row, grid.orig_idx.shape[0] - 1)]
+            return best, idx.astype(jnp.int32)
+        slots, valid = _candidate_slots(grid, qc)
         cand_pts = grid.packed_sorted[slots][..., :3]
         dist = jnp.linalg.norm(cand_pts - qc[:, None, :], axis=-1)
         masked = jnp.where(valid, dist, jnp.inf)
@@ -577,6 +595,20 @@ def radius_search_with_values_auto(
     return grid_radius_search(grid, queries, radius, k_max, with_values=True)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def kth_distance_bound(sample: jnp.ndarray, points: jnp.ndarray, k: int):
+    """Per-sample estimate of the k-th-neighbor distance via
+    ``approx_max_k`` — exact ``top_k`` over an N-wide row costs seconds at
+    1M points, and approximation only biases the estimate UP (a missed near
+    neighbor is replaced by a farther one), which over-covers the search
+    radius: the safe direction."""
+    from .neighbors import _sq_dists
+
+    d2 = jnp.maximum(_sq_dists(sample, points), 0.0)
+    neg, _ = jax.lax.approx_max_k(-d2, k)
+    return jnp.sqrt(jnp.maximum(-neg[:, -1], 0.0))
+
+
 def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
     """k-NN that scales to large clouds: a brute-force pass on a small sample
     bounds the k-th neighbor distance, then the grid engine searches within
@@ -593,7 +625,7 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
 
     stride = max(1, n // sample_size)
     sample = points[::stride][:sample_size]
-    kth = np.asarray(knn(sample, points, k).dist[:, -1])
+    kth = np.asarray(kth_distance_bound(sample, points, k))
     # 1.5x the 99th-percentile sampled k-th distance bounds the k-th neighbor
     # for all but sparse-region queries (max-based bounds blow the window up
     # on a single outlier sample); quantize the radius to a 1.25-geometric
@@ -618,12 +650,20 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
                 100.0 * frac, len(missing), radius,
             )
         miss = np.nonzero(missing)[0]
-        fix = knn(queries[miss], points, k)
-        idx = np.array(nbr.idx)
-        dist = np.array(nbr.dist)
-        mask = np.array(nbr.mask)
-        idx[miss] = np.asarray(fix.idx)
-        dist[miss] = np.asarray(fix.dist)
-        mask[miss] = np.asarray(fix.mask)
-        nbr = Neighborhoods(jnp.asarray(idx), jnp.asarray(dist), jnp.asarray(mask))
+        # pad the miss set to a pow2 bucket: its size is data-dependent, and
+        # an unpadded shape would force a fresh brute-knn compile per call
+        # (~10 s each through the remote tunnel)
+        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
+        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
+        fix = knn(queries[miss_pad], points, k)
+        # splice ON DEVICE: pulling the (N, k) neighborhood arrays to the
+        # host to patch a handful of rows moved ~90 MB through the tunnel
+        # (~9 s at 1M x 20) — a device scatter of the bucket rows is free
+        # (duplicated pad indices write identical values)
+        mj = jnp.asarray(miss_pad)
+        nbr = Neighborhoods(
+            nbr.idx.at[mj].set(fix.idx),
+            nbr.dist.at[mj].set(fix.dist),
+            nbr.mask.at[mj].set(fix.mask),
+        )
     return nbr

@@ -257,9 +257,13 @@ def sharded_normals(
 
     if k is not None:
         if large:
+            from ..ops.grid_hash import kth_distance_bound
+
             stride = max(1, len(cloud) // sample_size)
             sample = cloud[::stride][:sample_size]
-            kth = np.asarray(knn(jnp.asarray(sample), jnp.asarray(cloud), k).dist[:, -1])
+            kth = np.asarray(kth_distance_bound(
+                jnp.asarray(sample), jnp.asarray(cloud), k
+            ))
             search_r = float(1.5 * np.quantile(kth, 0.99))
             grid = build_grid(cloud, search_r, extras=None, halo=1)
             grid = jax.tree_util.tree_map(
@@ -334,18 +338,21 @@ def sharded_normals(
         from ..ops.neighbors import knn as _knn
 
         miss = np.nonzero(missing)[0]
-        qj = jnp.asarray(np.asarray(query_points, np.float32)[miss])
+        # pow2 bucket: a data-dependent miss count would recompile per call
+        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
+        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
+        qj = jnp.asarray(np.asarray(query_points, np.float32)[miss_pad])
         cj = jnp.asarray(cloud)
         nbr = _knn(qj, cj, k)
         _, v, _ = _pca(cj[nbr.idx], nbr.mask)
         fixed = v[..., :, 0]
         if pre_computed_normals is not None:
             pre_m = jnp.asarray(
-                np.asarray(pre_computed_normals, np.float32)[miss]
+                np.asarray(pre_computed_normals, np.float32)[miss_pad]
             )
             flip = jnp.sum(fixed * pre_m, axis=-1) < 0
             fixed = jnp.where(flip[..., None], -fixed, fixed)
-        normals[miss] = np.asarray(fixed)
+        normals[miss] = np.asarray(fixed)[:len(miss)]
     return normals
 
 
