@@ -559,12 +559,18 @@ def ring_match(
             bn = jnp.sum(b_cur * b_cur, axis=-1)[None, :]
             d2m = jnp.maximum(an + bn - 2.0 * (a_blk @ b_cur.T), 0.0)
             d2m = jnp.where(bv_cur[None, :], d2m, jnp.inf)
-            neg, idx = jax.lax.top_k(-d2m, 2)
-            d1_blk = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
-            d2_blk = jnp.sqrt(jnp.maximum(-neg[:, 1], 0.0))
-            d1_blk = jnp.where(jnp.isfinite(-neg[:, 0]), d1_blk, jnp.inf)
-            d2_blk = jnp.where(jnp.isfinite(-neg[:, 1]), d2_blk, jnp.inf)
-            gi = (src * qb + idx[:, 0]).astype(jnp.int32)
+            # top-2 as two argmin passes (top_k over wide rows is sort-like)
+            i1 = jnp.argmin(d2m, axis=-1).astype(jnp.int32)
+            d1_sq = jnp.take_along_axis(d2m, i1[:, None], axis=-1)[:, 0]
+            cols = jnp.arange(d2m.shape[1], dtype=jnp.int32)[None, :]
+            d2_sq = jnp.min(
+                jnp.where(cols == i1[:, None], jnp.inf, d2m), axis=-1
+            )
+            d1_blk = jnp.where(jnp.isfinite(d1_sq),
+                               jnp.sqrt(jnp.maximum(d1_sq, 0.0)), jnp.inf)
+            d2_blk = jnp.where(jnp.isfinite(d2_sq),
+                               jnp.sqrt(jnp.maximum(d2_sq, 0.0)), jnp.inf)
+            gi = (src * qb + i1).astype(jnp.int32)
 
             better = d1_blk < best_d
             new_second = jnp.minimum(
