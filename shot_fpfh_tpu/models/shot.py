@@ -383,7 +383,7 @@ def _shot_from_values(kp, nb_pts, nb_nrm, mask, local_rfs, radius, normalize,
 )
 def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
                          min_neighborhood_size, chunk: int = 4096,
-                         has_rfs: bool = False):
+                         has_rfs: bool = False, rf_radius=None):
     """Grid-window SHOT: per query chunk, gather the full compacted candidate
     window, mask by radius, and run LRF + histogram over the window directly —
     NO top-k and NO k_max truncation (3000/4096 bench neighborhoods exceeded
@@ -411,11 +411,22 @@ def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
         dy = vals[:, 1, :] - qc[:, 1:2]
         dz = vals[:, 2, :] - qc[:, 2:3]
         d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rfs_in = chunk_args[1] if has_rfs else None
+        if rfs_in is None and rf_radius is not None:
+            # bi-scale: frames from the rf_radius neighborhood of the SAME
+            # window (the grid covers max(radius, rf_radius))
+            ok_rf = valid & (d <= rf_radius)
+            centered = jnp.where(
+                ok_rf[:, None, :], vals[:, :3, :] - qc[:, :, None], 0.0
+            )
+            rfs_in = _local_rfs_ff(
+                centered, jnp.where(ok_rf, d, 0.0), ok_rf, rf_radius
+            )
         dist_inf = jnp.where(valid & (d <= radius), d, jnp.inf)
         return shot_from_window_ff(
             qc, vals, dist_inf, radius,
             normalize=normalize, min_neighborhood_size=min_neighborhood_size,
-            local_rfs=chunk_args[1] if has_rfs else None,
+            local_rfs=rfs_in,
         )
 
     desc, rfs = jax.lax.map(one, args)
@@ -561,6 +572,19 @@ class ShotComputer:
                 k_max=self.k_max, normalize=self.normalize,
                 min_neighborhood_size=self.min_neighborhood_size,
                 rf_radius=local_rf_radius,
+            )
+            return desc[:n_kp]
+        from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
+
+        if np.asarray(sup).shape[0] >= AUTO_GRID_MIN_POINTS:
+            # large supports: grouped-window formulation (brute radius_search
+            # for the RFs would be an O(Q*N) matmul + N-wide top_k at 1M)
+            max_r = float(max(local_rf_radius, shot_radius))
+            grid = build_grid(np.asarray(sup, np.float32), max_r / 2,
+                              extras=np.asarray(nrm, np.float32), halo=2)
+            desc, _ = _shot_window_chunked(
+                grid, jnp.asarray(kp_np), None, shot_radius, self.normalize,
+                self.min_neighborhood_size, rf_radius=local_rf_radius,
             )
             return desc[:n_kp]
         kp = jnp.asarray(kp_np)

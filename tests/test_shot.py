@@ -246,3 +246,45 @@ def test_grid_window_path_matches_bruteforce_uncapped(rng):
     np.testing.assert_allclose(
         np.asarray(desc_grid), np.asarray(desc_brute), atol=2e-3
     )
+
+
+def test_grid_window_bi_scale_matches_bruteforce(rng):
+    """Large-support bi-scale SHOT (window RFs at rf_radius) must agree with
+    the brute small-cloud formulation given ample caps."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.models.shot import ShotComputer
+    from shot_fpfh_tpu.ops import grid_hash
+
+    n = grid_hash.AUTO_GRID_MIN_POINTS + 500
+    xy = rng.uniform(-9, 9, size=(n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    kp = pts[:96]
+
+    comp = ShotComputer(k_max=512, min_neighborhood_size=5)
+    desc_big = np.asarray(comp.compute_descriptor_bi_scale(
+        pts, nrm, kp, local_rf_radius=0.4, shot_radius=0.8
+    ))
+
+    # brute reference: RFs from rf-radius neighborhoods, histogram from
+    # shot-radius neighborhoods, both uncapped
+    from shot_fpfh_tpu.models.shot import (
+        _shot_from_values,
+        local_reference_frames,
+    )
+    from shot_fpfh_tpu.ops.neighbors import radius_search
+
+    kpj = jnp.asarray(kp)
+    ptsj = jnp.asarray(pts)
+    rf_nbr = radius_search(kpj, ptsj, 0.4, 256)
+    rfs = local_reference_frames(kpj, ptsj[rf_nbr.idx], rf_nbr.mask, 0.4)
+    nbr = radius_search(kpj, ptsj, 0.8, 512)
+    assert int(np.asarray(nbr.count).max()) < 512
+    desc_ref, _ = _shot_from_values(
+        kpj, ptsj[nbr.idx], jnp.asarray(nrm)[nbr.idx], nbr.mask, rfs, 0.8,
+        True, 5,
+    )
+    np.testing.assert_allclose(desc_big, np.asarray(desc_ref), atol=2e-3)
