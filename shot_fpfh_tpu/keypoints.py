@@ -15,8 +15,6 @@ All four reference strategies, rebuilt fixed-shape:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -30,7 +30,7 @@ import numpy as np
 from ..core.solvers import solve_point_to_plane, solve_point_to_point
 from ..core.transform import RigidTransform
 from ..models.shot import local_reference_frames, shot_from_neighborhoods
-from ..ops.grid_hash import grid_nearest_neighbor, grid_radius_search
+from ..ops.grid_hash import grid_nearest_neighbor
 from ..ops.neighbors import nearest_neighbor, radius_search
 from .matching import descriptor_sq_dists
 
@@ -118,10 +118,13 @@ def fused_registration(
     ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
     d2 = descriptor_sq_dists(scan_desc, ref_desc)
     d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
-    neg, idx2 = jax.lax.top_k(-d2, 2)
-    d1 = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
-    dsecond = jnp.sqrt(jnp.maximum(-neg[:, 1], 0.0))
-    nn_idx = idx2[:, 0]
+    # top-2 as two argmin passes (top_k over wide rows is sort-like)
+    nn_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    d1_sq = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
+    cols = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
+    d2_sq = jnp.min(jnp.where(cols == nn_idx[:, None], jnp.inf, d2), axis=-1)
+    d1 = jnp.sqrt(jnp.maximum(jnp.where(jnp.isfinite(d1_sq), d1_sq, jnp.inf), 0.0))
+    dsecond = jnp.sqrt(jnp.maximum(jnp.where(jnp.isfinite(d2_sq), d2_sq, jnp.inf), 0.0))
     scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
     ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
     valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)

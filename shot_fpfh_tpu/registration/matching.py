@@ -19,7 +19,6 @@ ratio test (keep ``d1/d2 <= threshold``).
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Callable
 
