@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import hashlib
 import json
 import logging
 import os
@@ -176,9 +177,18 @@ def main(argv=None) -> int:
         mesh=mesh,
     )
 
+    # cache key: the sections that determine keypoints/descriptors — a cache
+    # written under a different config must not be resumed
+    state_key = hashlib.sha256(json.dumps(
+        {"kp": repr(config["keypoint_selection"]),
+         "desc": repr(config["descriptor"]),
+         "caps": [compute_cfg.k_max_descriptor, compute_cfg.k_max_fpfh,
+                  compute_cfg.normals_k]},
+        sort_keys=True,
+    ).encode()).hexdigest()
     if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):
         logger.info("Resuming intermediate state from %s", compute_cfg.state_cache)
-        pipeline.load_state(compute_cfg.state_cache)
+        pipeline.load_state(compute_cfg.state_cache, config_key=state_key)
 
     kp_cfg = config["keypoint_selection"]
     logger.info(kp_cfg.help_message())
@@ -206,7 +216,7 @@ def main(argv=None) -> int:
     timer("Descriptors")
 
     if compute_cfg.state_cache and not os.path.exists(compute_cfg.state_cache):
-        pipeline.save_state(compute_cfg.state_cache)
+        pipeline.save_state(compute_cfg.state_cache, config_key=state_key)
         logger.info("Saved intermediate state to %s", compute_cfg.state_cache)
 
     match_cfg = config["matching"]

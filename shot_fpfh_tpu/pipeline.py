@@ -440,11 +440,16 @@ class RegistrationPipeline:
         return overlap, inliers
 
     # ---------------------------------------------------- checkpoint/resume --
-    def save_state(self, path: str) -> None:
+    def save_state(self, path: str, config_key: str | None = None) -> None:
         """Persist the memoized intermediate state (keypoints, descriptors,
         matches) so RANSAC/ICP can be re-run without recomputing descriptors —
         the on-disk upgrade of the reference's in-memory memoization
-        (SURVEY.md §5 checkpoint/resume row)."""
+        (SURVEY.md §5 checkpoint/resume row).
+
+        ``config_key`` (any string — the CLI passes a hash of the keypoint +
+        descriptor config) is stored alongside; ``load_state`` refuses a
+        cache written under a different key instead of silently resuming with
+        stale descriptors."""
         state = {}
         for name in ("scan_keypoints", "ref_keypoints", "scan_descriptors",
                      "ref_descriptors"):
@@ -454,16 +459,30 @@ class RegistrationPipeline:
         if self.matches is not None:
             state["matches_scan"] = np.asarray(self.matches[0])
             state["matches_ref"] = np.asarray(self.matches[1])
+        if config_key is not None:
+            state["config_key"] = np.asarray(config_key)
         np.savez_compressed(path, **state)
 
-    def load_state(self, path: str) -> None:
+    def load_state(self, path: str, config_key: str | None = None) -> bool:
+        """Restore a saved state; returns False (loading nothing) when the
+        cache was written under a different ``config_key``."""
         data = np.load(path)
+        if config_key is not None and "config_key" in data:
+            stored = str(data["config_key"])
+            if stored != config_key:
+                logger.warning(
+                    "State cache %s was written under a different pipeline "
+                    "config (stored key %s != current %s); ignoring it.",
+                    path, stored[:16], config_key[:16],
+                )
+                return False
         for name in ("scan_keypoints", "ref_keypoints", "scan_descriptors",
                      "ref_descriptors"):
             if name in data:
                 setattr(self, name, data[name])
         if "matches_scan" in data:
             self.matches = (data["matches_scan"], data["matches_ref"])
+        return True
 
     def write_alignments(self, *args: tuple[str, RigidTransform]) -> None:
         """Write (transformed scan + ref) stacks with an ``is_scan`` flag

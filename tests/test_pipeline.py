@@ -214,3 +214,32 @@ def test_per_scale_shot_api_and_state_roundtrip(tmp_path, rng):
     p3.select_keypoints("subsampling", neighborhood_size=0.5)
     p3.compute_shot_descriptor_multiscale(radii=[0.4, 0.8], min_neighborhood_size=5)
     assert p3.scan_descriptors.shape[1] == 704
+
+
+def test_state_cache_config_key_guard(tmp_path, rng):
+    """A state cache written under one config must not resume under another
+    (SURVEY.md §5: on-disk cache keyed by config hash)."""
+    scan, ref, _ = make_pair(rng, n=600)
+    scan_n = np.asarray(compute_normals(scan, scan, k=10))
+    ref_n = np.asarray(compute_normals(ref, ref, k=10))
+    p = RegistrationPipeline(scan=scan, scan_normals=scan_n, ref=ref,
+                             ref_normals=ref_n, k_max_descriptor=128)
+    p.select_keypoints("subsampling", neighborhood_size=0.5)
+    p.compute_descriptors(radius=0.5, descriptor_choice="shot_single_scale",
+                          min_neighborhood_size=5)
+    path = str(tmp_path / "state.npz")
+    p.save_state(path, config_key="cfg-A")
+
+    p2 = RegistrationPipeline(scan=scan, scan_normals=scan_n, ref=ref,
+                              ref_normals=ref_n)
+    assert p2.load_state(path, config_key="cfg-B") is False
+    assert p2.scan_descriptors is None  # nothing resumed
+    assert p2.load_state(path, config_key="cfg-A") is True
+    np.testing.assert_allclose(p2.scan_descriptors, p.scan_descriptors)
+    # legacy caches without a key still load
+    p3 = RegistrationPipeline(scan=scan, scan_normals=scan_n, ref=ref,
+                              ref_normals=ref_n)
+    p3.save_state(str(tmp_path / "nokey.npz"))
+    p4 = RegistrationPipeline(scan=scan, scan_normals=scan_n, ref=ref,
+                              ref_normals=ref_n)
+    assert p4.load_state(str(tmp_path / "nokey.npz"), config_key="cfg-A") is True
