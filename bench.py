@@ -82,7 +82,7 @@ def main() -> None:
     keypoints = cloud[kp_idx]
 
     from shot_fpfh_tpu.models.shot import shot_from_window_ff
-    from shot_fpfh_tpu.ops.grid_hash import build_grid, grouped_window_gather
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, window_distances
     from shot_fpfh_tpu.registration.matching import nearest_descriptor
 
     # grid built once per cloud (the analog of the reference's one-time KDTree
@@ -102,11 +102,7 @@ def main() -> None:
         # descriptors use the EXACT uncapped radius neighborhoods (the
         # 256-cap used to truncate 3000/4096 of these) and the selection
         # cost disappears
-        vals, _rows, valid = grouped_window_gather(grid, kp)
-        dx = vals[:, 0, :] - kp[:, 0:1]
-        dy = vals[:, 1, :] - kp[:, 1:2]
-        dz = vals[:, 2, :] - kp[:, 2:3]
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        vals, d, valid, _rows = window_distances(grid, kp)
         dist_inf = jnp.where(valid & (d <= radius), d, jnp.inf)
         desc, _rfs = shot_from_window_ff(
             kp, vals, dist_inf, radius,

@@ -177,18 +177,24 @@ def main(argv=None) -> int:
         mesh=mesh,
     )
 
-    # cache key: the sections that determine keypoints/descriptors — a cache
-    # written under a different config must not be resumed
+    # cache key: every section that determines the cached state (keypoints,
+    # descriptors, AND matches — the cache stores matches and the pipeline
+    # early-returns on them) — a cache written under a different config must
+    # not be resumed
     state_key = hashlib.sha256(json.dumps(
         {"kp": repr(config["keypoint_selection"]),
          "desc": repr(config["descriptor"]),
+         "match": repr(config["matching"]),
          "caps": [compute_cfg.k_max_descriptor, compute_cfg.k_max_fpfh,
                   compute_cfg.normals_k]},
         sort_keys=True,
     ).encode()).hexdigest()
+    state_resumed = False
     if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):
         logger.info("Resuming intermediate state from %s", compute_cfg.state_cache)
-        pipeline.load_state(compute_cfg.state_cache, config_key=state_key)
+        state_resumed = pipeline.load_state(
+            compute_cfg.state_cache, config_key=state_key
+        )
 
     kp_cfg = config["keypoint_selection"]
     logger.info(kp_cfg.help_message())
@@ -215,7 +221,9 @@ def main(argv=None) -> int:
     )
     timer("Descriptors")
 
-    if compute_cfg.state_cache and not os.path.exists(compute_cfg.state_cache):
+    if compute_cfg.state_cache and not state_resumed:
+        # also OVERWRITES a cache that was refused for a config mismatch —
+        # otherwise the stale file would disable checkpoint/resume forever
         pipeline.save_state(compute_cfg.state_cache, config_key=state_key)
         logger.info("Saved intermediate state to %s", compute_cfg.state_cache)
 

@@ -173,15 +173,16 @@ def _spfh_window_sorted(grid, radius, n_bins: int, decorrelated: bool,
 def _spfh_window_block(grid, qc, qn, radius, n_bins, decorrelated):
     """One SPFH block over grouped feature-planar windows (shared by the
     single-device chunked pass and the sharded pass)."""
-    from ..ops.grid_hash import grouped_window_gather
+    from ..ops.grid_hash import window_distances
 
-    vals, _rows, win_ok = grouped_window_gather(grid, qc)
+    vals, d, win_ok, _rows = window_distances(grid, qc)
+    ok = win_ok & (d <= radius)
+    valid = ok & (d > 0)
+    # the Darboux frame needs the raw offsets, not just |d| (XLA CSEs these
+    # with the helper's internal diffs)
     dx = vals[:, 0, :] - qc[:, 0:1]
     dy = vals[:, 1, :] - qc[:, 1:2]
     dz = vals[:, 2, :] - qc[:, 2:3]
-    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    ok = win_ok & (d <= radius)
-    valid = ok & (d > 0)
     ux, uy, uz = qn[:, 0:1], qn[:, 1:2], qn[:, 2:3]
     # Darboux frame, feature-planar: v = diff x u (unnormalized, as the
     # reference), w = u x v
@@ -242,15 +243,11 @@ def _fpfh_window_aggregate(grid, spfh_sorted, kp_sorted_idx, radius,
 def _fpfh_window_agg_block(grid, spfh_sorted, spfh_g, kp_c, radius, group):
     """One FPFH-aggregation block: neighbor SPFH rows fetched with the same
     grouped window indices as the search (shared by single-device/sharded)."""
-    from ..ops.grid_hash import grouped_window_gather
+    from ..ops.grid_hash import window_distances
 
     d_dim = spfh_sorted.shape[1]
     qc = grid.packed_sorted[kp_c, :3]
-    vals, rows, win_ok = grouped_window_gather(grid, qc, group=group)
-    dx = vals[:, 0, :] - qc[:, 0:1]
-    dy = vals[:, 1, :] - qc[:, 1:2]
-    dz = vals[:, 2, :] - qc[:, 2:3]
-    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    vals, d, win_ok, rows = window_distances(grid, qc, group=group)
     ok = win_ok & (d <= radius)
     m = ok & (d > 0)
     wt = jnp.where(m, 1.0 / jnp.where(m, d, 1.0), 0.0)   # (C, W)

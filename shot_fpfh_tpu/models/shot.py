@@ -391,7 +391,7 @@ def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
     reference computes, and the selection cost (8.4 ms of the 21 ms bench
     rep) disappears.  Measured 20.9 -> 14.9 ms for 4096 descriptors+matching.
     """
-    from ..ops.grid_hash import grouped_window_gather
+    from ..ops.grid_hash import window_distances
 
     q = kp.shape[0]
     n_chunks = -(-q // chunk)
@@ -406,11 +406,7 @@ def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
 
     def one(chunk_args):
         qc = chunk_args[0]
-        vals, _rows, valid = grouped_window_gather(grid, qc)  # (C, F, W)
-        dx = vals[:, 0, :] - qc[:, 0:1]
-        dy = vals[:, 1, :] - qc[:, 1:2]
-        dz = vals[:, 2, :] - qc[:, 2:3]
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        vals, d, valid, _rows = window_distances(grid, qc)  # (C, F, W)
         rfs_in = chunk_args[1] if has_rfs else None
         if rfs_in is None and rf_radius is not None:
             # bi-scale: frames from the rf_radius neighborhood of the SAME

@@ -321,7 +321,12 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     total = cum[:, -1]
 
     r = (2 * grid.halo + 1) ** 2
-    gc = grid.window_cap // group + r                    # static group cap
+    # static group cap: each run j needs floor((end_j-1)/G) - floor(start_j/G)
+    # + 1 <= ceil(len_j/G) + 1 aligned groups (the +1 when it straddles a
+    # group boundary), so the worst case over a window is
+    # ceil(window_cap/G) + 2R, NOT window_cap//G + R — the original budget
+    # dropped candidates on fragmented windows (many short runs)
+    gc = -(-grid.window_cap // group) + 2 * r
     j = jnp.arange(gc, dtype=jnp.int32)[None, :]
     base = jnp.zeros((queries.shape[0], gc), jnp.int32)
     s_lane = jnp.zeros((queries.shape[0], gc), jnp.int32)
@@ -350,6 +355,21 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     )[None, :]
     valid = rep(lane_valid) & (rows >= rep(s_lane)) & (rows < rep(e_lane))
     return vals, rows, valid
+
+
+def window_distances(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
+    """Grouped window fetch + per-candidate distances: the shared front end
+    of every no-top-k window consumer (SHOT/FPFH window paths, fused, 1-NN).
+
+    Returns ``(values (Q, F, W), dist (Q, W), valid (Q, W), rows (Q, W))`` —
+    ``valid`` marks true window rows (callers apply their own radius mask on
+    ``dist``)."""
+    vals, rows, valid = grouped_window_gather(grid, queries, group=group)
+    dx = vals[:, 0, :] - queries[:, 0:1]
+    dy = vals[:, 1, :] - queries[:, 1:2]
+    dz = vals[:, 2, :] - queries[:, 2:3]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return vals, dist, valid, rows
 
 
 def _candidate_slots(grid: HashGrid, queries: jnp.ndarray):
@@ -473,15 +493,10 @@ def grid_nearest_neighbor(grid: HashGrid, queries: jnp.ndarray, query_chunk: int
     def one_chunk(qc):
         if grid.has_table:
             # grouped feature-planar fetch: ~3x the row-gather rate
-            vals, rows, valid = grouped_window_gather(grid, qc)
-            dx = vals[:, 0, :] - qc[:, 0:1]
-            dy = vals[:, 1, :] - qc[:, 1:2]
-            dz = vals[:, 2, :] - qc[:, 2:3]
-            masked = jnp.where(valid, dx * dx + dy * dy + dz * dz, jnp.inf)
+            _vals, dist, valid, rows = window_distances(grid, qc)
+            masked = jnp.where(valid, dist, jnp.inf)
             pos = jnp.argmin(masked, axis=-1)
-            best = jnp.sqrt(
-                jnp.take_along_axis(masked, pos[:, None], axis=1)[:, 0]
-            )
+            best = jnp.take_along_axis(masked, pos[:, None], axis=1)[:, 0]
             row = jnp.take_along_axis(rows, pos[:, None], axis=1)[:, 0]
             idx = grid.orig_idx[jnp.minimum(row, grid.orig_idx.shape[0] - 1)]
             return best, idx.astype(jnp.int32)

@@ -107,7 +107,7 @@ def sharded_shot_descriptors(
     rf_spec = P(POINTS_AXIS, None, None)
     if use_grid:
         from ..models.shot import _local_rfs_ff, shot_from_window_ff
-        from ..ops.grid_hash import grouped_window_gather
+        from ..ops.grid_hash import window_distances
 
         max_r = float(radius) if rf_radius is None else float(max(radius, rf_radius))
         grid = build_grid(np.asarray(support, np.float32), max_r / 2,
@@ -118,11 +118,7 @@ def sharded_shot_descriptors(
         def window_body(kp_block, rfs_block, grid_rep):
             # grouped feature-planar window fetch + no-top-k SHOT — the same
             # exact-uncapped formulation as the single-device grid path
-            vals, _rows, win_ok = grouped_window_gather(grid_rep, kp_block)
-            dx = vals[:, 0, :] - kp_block[:, 0:1]
-            dy = vals[:, 1, :] - kp_block[:, 1:2]
-            dz = vals[:, 2, :] - kp_block[:, 2:3]
-            d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            vals, d, win_ok, _rows = window_distances(grid_rep, kp_block)
             if rfs_block is None and rf_radius is not None:
                 ok_rf = win_ok & (d <= rf_radius)
                 centered = jnp.where(
@@ -559,17 +555,11 @@ def ring_match(
             bn = jnp.sum(b_cur * b_cur, axis=-1)[None, :]
             d2m = jnp.maximum(an + bn - 2.0 * (a_blk @ b_cur.T), 0.0)
             d2m = jnp.where(bv_cur[None, :], d2m, jnp.inf)
-            # top-2 as two argmin passes (top_k over wide rows is sort-like)
-            i1 = jnp.argmin(d2m, axis=-1).astype(jnp.int32)
-            d1_sq = jnp.take_along_axis(d2m, i1[:, None], axis=-1)[:, 0]
-            cols = jnp.arange(d2m.shape[1], dtype=jnp.int32)[None, :]
-            d2_sq = jnp.min(
-                jnp.where(cols == i1[:, None], jnp.inf, d2m), axis=-1
-            )
-            d1_blk = jnp.where(jnp.isfinite(d1_sq),
-                               jnp.sqrt(jnp.maximum(d1_sq, 0.0)), jnp.inf)
-            d2_blk = jnp.where(jnp.isfinite(d2_sq),
-                               jnp.sqrt(jnp.maximum(d2_sq, 0.0)), jnp.inf)
+            from ..registration.matching import top2_rows
+
+            i1, d1_sq, d2_sq = top2_rows(d2m)
+            d1_blk = jnp.sqrt(jnp.maximum(d1_sq, 0.0))   # inf rows stay inf
+            d2_blk = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
             gi = (src * qb + i1).astype(jnp.int32)
 
             better = d1_blk < best_d

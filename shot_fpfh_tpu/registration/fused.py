@@ -32,7 +32,7 @@ from ..core.transform import RigidTransform
 from ..models.shot import local_reference_frames, shot_from_neighborhoods
 from ..ops.grid_hash import grid_nearest_neighbor
 from ..ops.neighbors import nearest_neighbor, radius_search
-from .matching import descriptor_sq_dists
+from .matching import descriptor_sq_dists, top2_rows
 
 
 class FusedResult(NamedTuple):
@@ -50,13 +50,9 @@ def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None):
         # exact uncapped radius neighborhoods at ~2x the selected-k
         # throughput (requires the grid built with extras=normals)
         from ..models.shot import shot_from_window_ff
-        from ..ops.grid_hash import grouped_window_gather
+        from ..ops.grid_hash import window_distances
 
-        vals, _rows, win_ok = grouped_window_gather(grid, kp)
-        dx = vals[:, 0, :] - kp[:, 0:1]
-        dy = vals[:, 1, :] - kp[:, 1:2]
-        dz = vals[:, 2, :] - kp[:, 2:3]
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        vals, d, win_ok, _rows = window_distances(grid, kp)
         ok = win_ok & (d <= radius) & valid[:, None]
         desc, _rfs = shot_from_window_ff(
             kp, vals, jnp.where(ok, d, jnp.inf), radius,
@@ -118,13 +114,9 @@ def fused_registration(
     ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
     d2 = descriptor_sq_dists(scan_desc, ref_desc)
     d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
-    # top-2 as two argmin passes (top_k over wide rows is sort-like)
-    nn_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-    d1_sq = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
-    cols = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
-    d2_sq = jnp.min(jnp.where(cols == nn_idx[:, None], jnp.inf, d2), axis=-1)
-    d1 = jnp.sqrt(jnp.maximum(jnp.where(jnp.isfinite(d1_sq), d1_sq, jnp.inf), 0.0))
-    dsecond = jnp.sqrt(jnp.maximum(jnp.where(jnp.isfinite(d2_sq), d2_sq, jnp.inf), 0.0))
+    nn_idx, d1_sq, d2_sq = top2_rows(d2)
+    d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))        # inf rows stay inf
+    dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
     scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
     ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
     valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)

@@ -112,8 +112,12 @@ def _maybe_grid(ref, d_max):
 
 
 class IcpHostResult(NamedTuple):
-    """Host-side ICP outcome; iterates like the reference's
-    ``(transform, rms, has_converged)`` triple with ``n_iters`` appended."""
+    """Host-side ICP outcome: ``(transform, rms, has_converged, n_iters)``.
+
+    DELIBERATE API extension over the reference's 3-tuple
+    (icp.py:81-189): ``n_iters`` is appended so callers can observe early
+    stopping — 3-element unpacking must add a fourth target (the reference
+    never exposed the iteration count at all)."""
 
     transform: RigidTransform
     rms: float

@@ -61,23 +61,32 @@ def nearest_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray):
     return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
 
 
+def top2_rows(d2: jnp.ndarray):
+    """Row-wise nearest + second-nearest of a masked (inf = invalid) squared-
+    distance matrix: returns ``(i1, d1_sq, d2_sq)``.
+
+    Two argmin passes on purpose: ``lax.top_k(k=2)`` over an N-wide row is
+    sort-like and cost 16 s at 100k x 100k, while argmin + a masked second
+    min-reduction are plain VPU work (measured back at the distance-matmul
+    bound).  Shared by the chunked matcher, the fused program, and the
+    ICI-ring matcher."""
+    i1 = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    d1_sq = jnp.take_along_axis(d2, i1[:, None], axis=-1)[:, 0]
+    cols = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
+    d2_sq = jnp.min(jnp.where(cols == i1[:, None], jnp.inf, d2), axis=-1)
+    return i1, d1_sq, d2_sq
+
+
 @jax.jit
 def top2_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray):
     """Nearest and second-nearest: returns (idx1, d1, d2) — the Lowe-ratio
-    ingredients.
-
-    Top-2 as two argmin passes: ``lax.top_k`` over an N-wide row is
-    sort-like and cost 16 s at 100k x 100k, while two masked min-reductions
-    are plain VPU work (measured back at the distance-matmul bound)."""
+    ingredients."""
 
     def one_chunk(ac):
         d2 = descriptor_sq_dists(ac, b)
         d2 = jnp.where(b_valid[None, :], d2, jnp.inf)
-        i1 = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-        d1 = jnp.take_along_axis(d2, i1[:, None], axis=-1)[:, 0]
-        cols = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
-        d2nd = jnp.min(jnp.where(cols == i1[:, None], jnp.inf, d2), axis=-1)
-        return i1, jnp.sqrt(d1), jnp.sqrt(d2nd)
+        i1, d1_sq, d2_sq = top2_rows(d2)
+        return i1, jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
 
     ap, n_chunks = _pad_rows(a, _CHUNK)
     idx, d1, d2 = jax.lax.map(one_chunk, ap.reshape(n_chunks, _CHUNK, -1))

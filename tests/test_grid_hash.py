@@ -220,3 +220,25 @@ def test_knn_auto_sparse_region_exactness(monkeypatch, rng):
     want = np.sort(d, axis=1)[:, :k]
     got = np.sort(np.asarray(nbr.dist[800:]), axis=1)
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_grouped_window_gather_fragmented_budget(rng):
+    """Regression (round-2 review): the static group budget must cover
+    fragmented windows where every run straddles a group boundary — the
+    original window_cap//G + R bound silently dropped candidates."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grouped_window_gather
+
+    # small cells, few points per cell -> many short runs per window
+    pts = (rng.uniform(0, 5, size=(197, 3))).astype(np.float32)
+    radius = 1.0
+    grid = build_grid(pts, radius, halo=1)
+    vals, rows, valid = grouped_window_gather(grid, jnp.asarray(pts))
+    d = np.linalg.norm(np.asarray(vals)[:, :3, :].transpose(0, 2, 1)
+                       - pts[:, None, :], axis=-1)
+    ok = np.asarray(valid) & (d <= radius)
+    d_brute = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    found = ok.sum(axis=1)
+    want = (d_brute <= radius).sum(axis=1)
+    np.testing.assert_array_equal(found, want)
