@@ -72,7 +72,8 @@ class HashGrid:
     def __init__(self, packed_sorted, orig_idx, cell_ids_sorted, origin, dims,
                  cell_size, cell_starts, cell_cap: int, has_table: bool,
                  window_cap: int, col_cap: int = 0, halo: int = 1,
-                 cell_size_static: float | None = None):
+                 cell_size_static: float | None = None,
+                 group_cap: int = 0):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -89,6 +90,10 @@ class HashGrid:
         self.cell_size_static = cell_size_static  # host float copy of cell_size
                                             # (lets entry points check the
                                             # radius contract without a sync)
+        self.group_cap = group_cap          # static: exact max number of
+                                            # G=8-aligned groups any window's
+                                            # runs need (0 = use the
+                                            # conservative bound)
 
     @property
     def points_sorted(self):
@@ -98,7 +103,8 @@ class HashGrid:
         children = (self.packed_sorted, self.orig_idx, self.cell_ids_sorted,
                     self.origin, self.dims, self.cell_size, self.cell_starts)
         return children, (self.cell_cap, self.has_table, self.window_cap,
-                          self.col_cap, self.halo, self.cell_size_static)
+                          self.col_cap, self.halo, self.cell_size_static,
+                          self.group_cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -129,6 +135,39 @@ def _cell_starts_device(ids_sorted: jnp.ndarray, padded_len: int) -> jnp.ndarray
     return jnp.searchsorted(
         ids_sorted, jnp.arange(padded_len, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+
+
+WINDOW_GROUP = 8  # row-group size of the grouped feature-planar gather
+
+
+def _group_cap(cell_starts: np.ndarray, dims_np: np.ndarray, halo: int,
+               group: int = WINDOW_GROUP) -> int:
+    """EXACT max number of G-aligned row groups any query window needs.
+
+    Per (x, y, center-z) the z-column run is [cs[x,y,max(z-h,0)],
+    cs[x,y,min(z+h,d2-1)+1]); its aligned-group need is
+    ceil((start%G + len)/G).  A 2-D box-sum over the (2h+1)^2 xy offsets then
+    maximizes over windows — the same structure as ``_window_caps``, so the
+    build pays one more cheap host pass instead of shipping the conservative
+    ceil(window/G)+2R bound (which cost ~20%% extra histogram width)."""
+    d0, d1, d2 = (int(v) for v in dims_np)
+    zc = np.arange(d2)
+    zlo = np.maximum(zc - halo, 0)
+    zhi = np.minimum(zc + halo, d2 - 1) + 1
+    base = np.arange(d0 * d1, dtype=np.int64)[:, None] * d2
+    start = cell_starts[base + zlo[None, :]].astype(np.int64)
+    end = cell_starts[base + zhi[None, :]].astype(np.int64)
+    ln = end - start
+    g = np.where(ln > 0, (start % group + ln + group - 1) // group, 0)
+    g = g.reshape(d0, d1, d2)
+    w = 2 * halo + 1
+    p = np.pad(g, ((halo, halo), (halo, halo), (0, 0)))
+    acc = None
+    for dx in range(w):
+        for dy in range(w):
+            piece = p[dx:dx + d0, dy:dy + d1, :]
+            acc = piece.copy() if acc is None else acc + piece
+    return int(acc.max())
 
 
 def _window_caps(cell_starts: np.ndarray, dims_np: np.ndarray, n: int,
@@ -202,9 +241,18 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         # (searchsorted past the last id naturally yields n = empty) so
         # clouds with slightly different extents/radii reuse compiled query
         # programs
+        if n_cells <= 1 << 22:
+            group_cap = int(np.ceil(max(
+                _group_cap(cell_starts_np, dims_np, halo), 1) / 16) * 16)
+        else:
+            # very sparse grids (>4M cells): the exact pass would allocate
+            # several n_cells-sized int64 temporaries — fall back to the
+            # conservative bound (grouped consumers rarely see such grids)
+            group_cap = 0
         padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
         cell_starts = _cell_starts_device(ids_sorted, padded_len)
     else:
+        group_cap = 0
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = (2 * halo + 1) ** 3 * cap
         col_cap = (2 * halo + 1) * cap
@@ -215,7 +263,7 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
     return HashGrid(packed, orig_idx, ids_sorted, origin, dims,
                     jnp.asarray(cell_size, jnp.float32), cell_starts, cap,
                     has_table, wcap, col_cap, halo,
-                    cell_size_static=float(cell_size))
+                    cell_size_static=float(cell_size), group_cap=group_cap)
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
@@ -323,10 +371,15 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     r = (2 * grid.halo + 1) ** 2
     # static group cap: each run j needs floor((end_j-1)/G) - floor(start_j/G)
     # + 1 <= ceil(len_j/G) + 1 aligned groups (the +1 when it straddles a
-    # group boundary), so the worst case over a window is
+    # group boundary), so the conservative worst case over a window is
     # ceil(window_cap/G) + 2R, NOT window_cap//G + R — the original budget
-    # dropped candidates on fragmented windows (many short runs)
-    gc = -(-grid.window_cap // group) + 2 * r
+    # dropped candidates on fragmented windows (many short runs).  The build
+    # computes the EXACT per-grid maximum for the default G (``group_cap``),
+    # which is typically much tighter.
+    if group == WINDOW_GROUP and getattr(grid, "group_cap", 0):
+        gc = grid.group_cap
+    else:
+        gc = -(-grid.window_cap // group) + 2 * r
     j = jnp.arange(gc, dtype=jnp.int32)[None, :]
     base = jnp.zeros((queries.shape[0], gc), jnp.int32)
     s_lane = jnp.zeros((queries.shape[0], gc), jnp.int32)
