@@ -73,7 +73,7 @@ class HashGrid:
                  cell_size, cell_starts, cell_cap: int, has_table: bool,
                  window_cap: int, col_cap: int = 0, halo: int = 1,
                  cell_size_static: float | None = None,
-                 group_cap: int = 0):
+                 group_cap: int = 0, group_cap16: int = 0):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -94,6 +94,7 @@ class HashGrid:
                                             # G=8-aligned groups any window's
                                             # runs need (0 = use the
                                             # conservative bound)
+        self.group_cap16 = group_cap16      # same, for G=16 groups
 
     @property
     def points_sorted(self):
@@ -104,7 +105,7 @@ class HashGrid:
                     self.origin, self.dims, self.cell_size, self.cell_starts)
         return children, (self.cell_cap, self.has_table, self.window_cap,
                           self.col_cap, self.halo, self.cell_size_static,
-                          self.group_cap)
+                          self.group_cap, self.group_cap16)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -243,16 +244,20 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         # programs
         if n_cells <= 1 << 22:
             group_cap = int(np.ceil(max(
-                _group_cap(cell_starts_np, dims_np, halo), 1) / 16) * 16)
+                _group_cap(cell_starts_np, dims_np, halo, 8), 1) / 16) * 16)
+            group_cap16 = int(np.ceil(max(
+                _group_cap(cell_starts_np, dims_np, halo, 16), 1) / 8) * 8)
         else:
             # very sparse grids (>4M cells): the exact pass would allocate
             # several n_cells-sized int64 temporaries — fall back to the
             # conservative bound (grouped consumers rarely see such grids)
             group_cap = 0
+            group_cap16 = 0
         padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
         cell_starts = _cell_starts_device(ids_sorted, padded_len)
     else:
         group_cap = 0
+        group_cap16 = 0
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = (2 * halo + 1) ** 3 * cap
         col_cap = (2 * halo + 1) * cap
@@ -263,7 +268,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
     return HashGrid(packed, orig_idx, ids_sorted, origin, dims,
                     jnp.asarray(cell_size, jnp.float32), cell_starts, cap,
                     has_table, wcap, col_cap, halo,
-                    cell_size_static=float(cell_size), group_cap=group_cap)
+                    cell_size_static=float(cell_size), group_cap=group_cap,
+                    group_cap16=group_cap16)
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
@@ -378,6 +384,8 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     # which is typically much tighter.
     if group == WINDOW_GROUP and getattr(grid, "group_cap", 0):
         gc = grid.group_cap
+    elif group == 16 and getattr(grid, "group_cap16", 0):
+        gc = grid.group_cap16
     else:
         gc = -(-grid.window_cap // group) + 2 * r
     j = jnp.arange(gc, dtype=jnp.int32)[None, :]
