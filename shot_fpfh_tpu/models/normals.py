@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.eigh3 import eigh3x3, pca_eigh
 from ..ops.grid_hash import (
@@ -108,18 +109,29 @@ def _normals_from_cov(cov, pre_computed_normals):
     return normals
 
 
-@functools.partial(jax.jit, static_argnames=("k_max",))
 def compute_sphericity(query_points, cloud_points, radius, k_max: int = 64):
     """λ_min / (λ_max + 1e-6) on radius neighborhoods
-    (reference pca_based_descriptors.py:62-74)."""
+    (reference pca_based_descriptors.py:62-74).
+
+    Large clouds go through the grid engine's fused covariance reduction
+    (uncapped, no O(Q·N) brute pass)."""
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
+    if c.shape[0] >= AUTO_GRID_MIN_POINTS:
+        grid = build_grid(np.asarray(c), float(radius))
+        cov, _, _ = grid_radius_pca(grid, q, radius)
+        w, _ = eigh3x3(cov)
+        return w[..., 0] / (w[..., 2] + 1e-6)
+    return _sphericity_brute(q, c, radius, k_max)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def _sphericity_brute(q, c, radius, k_max: int):
     nbr = radius_search(q, c, radius, k_max)
     w, _, _ = pca_eigh(c[nbr.idx], nbr.mask)
     return w[..., 0] / (w[..., 2] + 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max",))
 def local_pca_with_moments(query_points, cloud_points, radius, k_max: int = 64):
     """Batched local PCA + first/second moments
     (reference ``compute_local_pca_with_moments``,
@@ -129,9 +141,47 @@ def local_pca_with_moments(query_points, cloud_points, radius, k_max: int = 64):
     *columns* (the intended basis); the reference uses ``@ eigenvectors.T``
     (line 131), an apparent transposition slip.
     Returns (eigenvalues (Q,3), eigenvectors (Q,3,3), moments (Q,8), sizes (Q,)).
-    """
+
+    Large clouds run over grouped feature-planar windows (uncapped, exact —
+    the brute path at any size would be an O(Q·N) matmul)."""
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
+    if c.shape[0] >= AUTO_GRID_MIN_POINTS:
+        grid = build_grid(np.asarray(c), float(radius) / 2, halo=2)
+        return _pca_moments_window(grid, q, radius)
+    return _pca_moments_brute(q, c, radius, k_max)
+
+
+@jax.jit
+def _pca_moments_window(grid, q, radius):
+    """Feature-planar window formulation of ``local_pca_with_moments``."""
+    from ..ops.grid_hash import window_distances
+
+    vals, d, win_ok, _rows = window_distances(grid, q)
+    ok = win_ok & (d <= radius)
+    okf = ok.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(okf, axis=-1), 1.0)
+    # accumulate query-centered (|p - q| <= radius) so f32 stays accurate for
+    # clouds far from the origin, then re-center about the barycenter
+    rel = jnp.where(ok[:, None, :], vals[:, :3, :] - q[:, :, None], 0.0)
+    bary_off = jnp.sum(rel, axis=-1) / count[:, None]
+    centered = jnp.where(ok[:, None, :], rel - bary_off[:, :, None], 0.0)
+    cov = jnp.einsum("qiw,qjw->qij", centered, centered) / count[:, None, None]
+    w, v = eigh3x3(cov)
+    proj = jnp.einsum("qiw,qij->qjw", centered, v)
+    mean_abs = jnp.abs(jnp.sum(proj, axis=-1) / count[:, None])
+    mean_sq = jnp.sum(proj**2, axis=-1) / count[:, None]
+    vert = centered[:, 2, :]
+    vert_mean = jnp.sum(vert, axis=-1) / count
+    vert_sq = jnp.sum(vert**2, axis=-1) / count
+    moments = jnp.concatenate(
+        [mean_abs, mean_sq, vert_mean[:, None], vert_sq[:, None]], axis=1
+    )
+    return w, v, moments, jnp.sum(ok, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def _pca_moments_brute(q, c, radius, k_max: int):
     nbr = radius_search(q, c, radius, k_max)
     pts = c[nbr.idx]
     w, v, bary = pca_eigh(pts, nbr.mask)
@@ -153,11 +203,17 @@ def local_pca_with_moments(query_points, cloud_points, radius, k_max: int = 64):
 
 def compute_pca_based_basic_features(query_points, cloud_points, radius, k_max: int = 64):
     """(verticality, linearity, planarity, sphericity)
-    (reference pca_based_descriptors.py:150-184)."""
+    (reference pca_based_descriptors.py:150-184).  Large clouds use the
+    grid engine's fused covariance (uncapped)."""
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
-    nbr = radius_search(q, c, radius, k_max)
-    w, v, _ = pca_eigh(c[nbr.idx], nbr.mask)
+    if c.shape[0] >= AUTO_GRID_MIN_POINTS:
+        grid = build_grid(np.asarray(c), float(radius))
+        cov, _, _ = grid_radius_pca(grid, q, radius)
+        w, v = eigh3x3(cov)
+    else:
+        nbr = radius_search(q, c, radius, k_max)
+        w, v, _ = pca_eigh(c[nbr.idx], nbr.mask)
     lbd3, lbd2, lbd1 = w[..., 0], w[..., 1], w[..., 2] + 1e-6
     normals = v[..., :, 0]
     verticality = 2.0 * jnp.arcsin(jnp.clip(jnp.abs(normals[..., 2]), 0, 1)) / jnp.pi

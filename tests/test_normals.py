@@ -93,3 +93,41 @@ def test_normals_radius_grid_branch(monkeypatch, rng):
     # normals defined up to sign
     dots = np.abs(np.sum(dense * fused, axis=1))
     assert np.all(dots > 1 - 1e-4)
+
+
+def test_pca_features_grid_path_matches_brute(rng):
+    """Above the auto-grid threshold the PCA feature functions switch to
+    grid/window formulations; they must agree with the brute path."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.models.normals import (
+        _pca_moments_brute,
+        _sphericity_brute,
+        compute_pca_based_features,
+        compute_sphericity,
+        local_pca_with_moments,
+    )
+    from shot_fpfh_tpu.ops import grid_hash
+
+    n = grid_hash.AUTO_GRID_MIN_POINTS + 500
+    xy = rng.uniform(-9, 9, size=(n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    q = pts[:256]
+    radius = 0.5
+
+    sph_g = np.asarray(compute_sphericity(q, pts, radius))
+    sph_b = np.asarray(_sphericity_brute(
+        jnp.asarray(q), jnp.asarray(pts), radius, 256))
+    np.testing.assert_allclose(sph_g, sph_b, atol=1e-4)
+
+    w_g, v_g, mom_g, sz_g = local_pca_with_moments(q, pts, radius)
+    w_b, v_b, mom_b, sz_b = _pca_moments_brute(
+        jnp.asarray(q), jnp.asarray(pts), radius, 256)
+    np.testing.assert_array_equal(np.asarray(sz_g), np.asarray(sz_b))
+    np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mom_g), np.asarray(mom_b), atol=1e-3)
+
+    feats = np.asarray(compute_pca_based_features(q, pts, radius))
+    assert feats.shape == (256, 21)
+    assert np.isfinite(feats).all()
