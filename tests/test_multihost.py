@@ -97,3 +97,23 @@ def test_two_process_run_matches_single_process(ply_pair, tmp_path):
         exact.rotation,
     ))
     assert ang < 0.02, f"multi-host rotation error {np.degrees(ang):.2f} deg"
+
+
+def test_run_multihost_single_process_fpfh(ply_pair):
+    """The multi-host driver's FPFH leg (single-process smoke: same driver,
+    8 local devices)."""
+    from shot_fpfh_tpu.parallel.multihost import run_multihost
+
+    scan_path, ref_path, exact = ply_pair
+    res = run_multihost(
+        scan_path, ref_path, descriptor_choice="fpfh", radius=0.4,
+        reject_threshold=0.95, n_draws=800, max_iter=40,
+    )
+    assert res["process_count"] == 1
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.core import rotation_angle
+
+    ang = float(rotation_angle(
+        jnp.asarray(np.array(res["rotation"], np.float32)), exact.rotation))
+    assert ang < 0.03
