@@ -102,6 +102,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute.add_argument("--state_cache", type=str, default=None,
                          help="npz path: save/resume keypoints+descriptors+matches")
     compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
+    compute.add_argument("--debug_shot", action="store_const", const=True, default=None,
+                         help="Validate SHOT bin indices and quadrilinear "
+                              "weight sums on device (counterpart of the "
+                              "reference's sequential-SHOT debug_mode "
+                              "asserts).")
     compute.add_argument("--n_devices", type=int, default=None,
                          help="Devices in the 1-D mesh the pipeline shards "
                               "over (0 = all visible devices, 1 = single-"
@@ -110,7 +115,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute.add_argument("--n_procs", type=int, default=None, dest="n_devices",
                          help="Reference-compatibility alias for --n_devices.")
     compute.add_argument("--mesh_axis", type=str, default=None,
-                         help="Name of the mesh axis (default: points).")
+                         help="Name of the mesh axis. Must be 'points' — "
+                              "every sharded stage binds that name; any other "
+                              "value is rejected at mesh construction.")
 
     return parser.parse_args(argv)
 
@@ -128,6 +135,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if compute_cfg.debug_shot:
+        from .models.shot import enable_debug_checks
+
+        enable_debug_checks(True)
 
     # persistent XLA compile cache: repeat CLI runs on similar cloud pairs
     # skip the (tunnel-dominated) compile cost entirely
@@ -180,13 +191,24 @@ def main(argv=None) -> int:
     # cache key: every section that determines the cached state (keypoints,
     # descriptors, AND matches — the cache stores matches and the pipeline
     # early-returns on them) — a cache written under a different config must
-    # not be resumed
+    # not be resumed.  The INPUT CLOUDS are part of the key too (path +
+    # size + mtime): reusing one --state_cache file across different cloud
+    # pairs must not silently resume the wrong pair's keypoints (ADVICE r2 #3).
+    def _file_id(path: str):
+        try:
+            st = os.stat(path)
+            return [path, st.st_size, st.st_mtime_ns]
+        except OSError:
+            return [path, -1, -1]
+
     state_key = hashlib.sha256(json.dumps(
         {"kp": repr(config["keypoint_selection"]),
          "desc": repr(config["descriptor"]),
          "match": repr(config["matching"]),
          "caps": [compute_cfg.k_max_descriptor, compute_cfg.k_max_fpfh,
-                  compute_cfg.normals_k]},
+                  compute_cfg.normals_k],
+         "inputs": [_file_id(args.scan_file_path),
+                    _file_id(args.ref_file_path)]},
         sort_keys=True,
     ).encode()).hexdigest()
     state_resumed = False

@@ -34,8 +34,9 @@ class Config(ABC):
             try:
                 if not isinstance(value, ftype):
                     warnings.warn(
-                        f"Expected {field.name} to be {ftype}, got "
-                        f"{value!r} of type {type(value)}"
+                        f"Config field {field.name!r} should be {ftype} but "
+                        f"received {value!r} ({type(value).__name__}); "
+                        f"recasting."
                     )
                     setattr(self, field.name, ftype(value))
             except TypeError:
@@ -58,10 +59,9 @@ class KeypointSelectionConfig(Config):
 
     def help_message(self) -> str:
         return (
-            f"Keypoint selection parameters:\n"
-            f" -- strategy: {self.selection_algorithm}\n"
-            f" -- neighborhood size: {self.neighborhood_size}\n"
-            f" -- minimal number of neighbors: {self.min_n_neighbors}"
+            f"Keypoint selection: algorithm={self.selection_algorithm}, "
+            f"neighborhood_size={self.neighborhood_size}, "
+            f"min_n_neighbors={self.min_n_neighbors}"
         )
 
 
@@ -86,15 +86,14 @@ class DescriptorConfig(Config):
     def help_message(self) -> str:
         if self.descriptor_choice == "fpfh":
             return (
-                f"FPFH parameters:\n -- radius: {self.radius}\n"
-                f" -- number of bins: {self.fpfh_n_bins}"
+                f"Descriptors: FPFH, radius={self.radius}, "
+                f"bins={self.fpfh_n_bins}^3"
             )
         return (
-            f"SHOT parameters:\n -- radius: {self.radius}\n"
-            f" -- choice: {self.descriptor_choice}\n"
-            f" -- minimum neighborhood size: {self.min_neighborhood_size}\n"
-            f" -- normalize: {self.normalize}\n"
-            f" -- subsample support: {self.subsample_support}"
+            f"Descriptors: {self.descriptor_choice}, radius={self.radius}, "
+            f"min neighborhood={self.min_neighborhood_size}, "
+            f"normalize={self.normalize}, "
+            f"subsample_support={self.subsample_support}"
         )
 
 
@@ -106,9 +105,9 @@ class MatchingConfig(Config):
 
     def help_message(self) -> str:
         return (
-            f"Matching parameters:\n -- matching strategy: {self.matching_algorithm}\n"
-            f" -- rejection threshold (double/ratio): {self.reject_threshold}\n"
-            f" -- threshold multiplier (threshold): {self.threshold_multiplier}"
+            f"Matching: strategy={self.matching_algorithm}, "
+            f"reject_threshold={self.reject_threshold} (double/ratio), "
+            f"threshold_multiplier={self.threshold_multiplier} (threshold)"
         )
 
 
@@ -121,9 +120,8 @@ class RansacConfig(Config):
 
     def help_message(self) -> str:
         return (
-            f"RANSAC parameters:\n -- number of draws: {self.n_draws}\n"
-            f" -- draw size: {self.draw_size}\n"
-            f" -- maximum inlier distance: {self.max_inliers_distance}"
+            f"RANSAC: {self.n_draws} draws of size {self.draw_size}, "
+            f"inlier distance <= {self.max_inliers_distance}"
         )
 
 
@@ -137,10 +135,9 @@ class IcpConfig(Config):
 
     def help_message(self) -> str:
         return (
-            f"ICP parameters:\n -- ICP type: {self.icp_type}\n"
-            f" -- maximum number of iterations: {self.max_iter}\n"
-            f" -- RMS threshold: {self.rms_threshold}\n"
-            f" -- d_max: {self.d_max}\n -- subsampling voxel size: {self.voxel_size}"
+            f"ICP: type={self.icp_type}, max_iter={self.max_iter}, "
+            f"rms_threshold={self.rms_threshold}, d_max={self.d_max}, "
+            f"voxel_size={self.voxel_size}"
         )
 
 
@@ -152,10 +149,10 @@ class RegistrationEvaluationConfig(Config):
 
     def help_message(self) -> str:
         return (
-            f"Registration evaluation parameters:\n"
-            f" -- overlap > {self.overlap_threshold * 100:.0f}%\n"
-            f" -- distance to map < {self.distance_to_map_threshold * 100:.0f} cm\n"
-            f" -- inliers > {self.inliers_threshold:.2f}"
+            f"Registration accepted when overlap > "
+            f"{self.overlap_threshold * 100:.0f}%, distance to map < "
+            f"{self.distance_to_map_threshold:g}, and inlier ratio > "
+            f"{self.inliers_threshold:.2f}"
         )
 
     def eval_registration(self, *, overlap: float, distance_to_map: float, inliers) -> bool:
@@ -176,6 +173,7 @@ class ComputeConfig(Config):
     mesh_axis: str = "points"     # 1-D mesh axis name for sharded stages
     n_devices: int = 0            # 0 = all visible devices
     debug_nans: bool = False      # enable jax_debug_nans (debug runs)
+    debug_shot: bool = False      # SHOT bin/weight sanity checks (debug runs)
     state_cache: str = ""         # npz path for descriptor checkpoint/resume
 
     def help_message(self) -> str:

@@ -90,14 +90,31 @@ def select_keypoints_iteratively(points, radius, k_max: int = 128) -> np.ndarray
     grid-hash neighborhoods — same greedy fixpoint, except that radius balls
     holding more than ``k_max`` points are truncated to the nearest ``k_max``
     (the framework-wide neighborhood-cap semantics), which can only make the
-    selection slightly denser."""
+    selection slightly denser.  When the measured neighborhoods saturate the
+    cap, ``k_max`` is doubled (up to 8x) and the search re-run so the exact
+    greedy semantics hold on dense clouds too; if the densest ball exceeds
+    even that, the remaining truncation is WARNED about instead of silently
+    deviating from the reference's exact cover (ADVICE r2 #4)."""
+    import logging
+
     from .ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid, grid_radius_search
 
     pts = jnp.asarray(points, jnp.float32)
     if pts.shape[0] < AUTO_GRID_MIN_POINTS:
         return np.nonzero(np.asarray(_iterative_masked(pts, radius)))[0]
     grid = build_grid(np.asarray(pts), float(radius) / 2, halo=2)
-    nbr = grid_radius_search(grid, pts, radius, k_max)
+    k_cap = k_max
+    nbr = grid_radius_search(grid, pts, radius, k_cap)
+    while int(np.asarray(jnp.max(nbr.count))) >= k_cap and k_cap < 8 * k_max:
+        k_cap *= 2
+        nbr = grid_radius_search(grid, pts, radius, k_cap)
+    if int(np.asarray(jnp.max(nbr.count))) >= k_cap:
+        logging.getLogger(__name__).warning(
+            "select_keypoints_iteratively: radius balls exceed the %d-neighbor "
+            "cap even after auto-raising from %d; the greedy cover may be "
+            "slightly denser than the reference's exact semantics "
+            "(raise k_max or shrink the radius)", k_cap, k_max,
+        )
     return np.nonzero(np.asarray(_iterative_rounds(nbr.idx, nbr.mask)))[0]
 
 

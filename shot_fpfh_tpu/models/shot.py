@@ -42,6 +42,64 @@ N_RADIAL_BINS = 2
 SHOT_DIM = N_COSINE_BINS * N_AZIMUTH_BINS * N_ELEVATION_BINS * N_RADIAL_BINS  # 352
 
 
+# --------------------------------------------------------------- debug ------
+# Counterpart of the reference's sequential-SHOT ``debug_mode`` asserts and
+# interpolation-sanity warnings (shot.py:375-379,414-428,441-463): when
+# enabled, every SHOT accumulation validates its bin indices and quadrilinear
+# weights on device (two masked reductions) and reports violations through a
+# host callback.  Off by default — the checks are free-ish but pure paranoia.
+_DEBUG = {"enabled": False, "violations": 0}
+
+
+def enable_debug_checks(enabled: bool = True) -> None:
+    """Toggle SHOT binning sanity checks (CLI ``--debug_shot``).
+
+    The flag is read at TRACE time, so already-compiled SHOT programs are
+    dropped from the jit cache to make the toggle effective immediately."""
+    import jax as _jax
+
+    if _DEBUG["enabled"] != enabled:
+        _jax.clear_caches()
+    _DEBUG["enabled"] = enabled
+    _DEBUG["violations"] = 0
+
+
+def debug_violation_count() -> int:
+    return _DEBUG["violations"]
+
+
+def _binning_violations(cos_bin, cos_nb, az_bin, elev_bin, rad_bin,
+                        total_w, valid):
+    """(bad-bin count, bad-weight count) over valid neighbors — the pure
+    device-side predicate behind the debug checks.  A neighbor is unsound if
+    any bin index leaves its range, or if its summed quadrilinear
+    interpolation weight leaves (0, 4 + eps] (each of the four interpolation
+    dimensions contributes at most 1 — reference shot.py:414-428)."""
+    bad_bin = (
+        (cos_bin < 0) | (cos_bin >= N_COSINE_BINS)
+        | (cos_nb < 0) | (cos_nb >= N_COSINE_BINS)
+        | (az_bin < 0) | (az_bin >= N_AZIMUTH_BINS)
+        | (elev_bin < 0) | (elev_bin >= N_ELEVATION_BINS)
+        | (rad_bin < 0) | (rad_bin >= N_RADIAL_BINS)
+    )
+    bad_w = jnp.isnan(total_w) | (total_w > 4.0 + 1e-3) | (total_w <= 0.0)
+    return (jnp.sum(bad_bin & valid, dtype=jnp.int32),
+            jnp.sum(bad_w & valid, dtype=jnp.int32))
+
+
+def _debug_report(n_bad_bin, n_bad_weight):
+    import logging
+
+    n = int(n_bad_bin) + int(n_bad_weight)
+    if n:
+        _DEBUG["violations"] += n
+        logging.getLogger(__name__).warning(
+            "SHOT debug checks: %d out-of-range bin indices, %d unsound "
+            "quadrilinear weight sums among valid neighbors",
+            int(n_bad_bin), int(n_bad_weight),
+        )
+
+
 def azimuth_bin_index(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """8-way azimuth octant of (x, y), clockwise, first bin between pi and
     3pi/4 — bit-for-bit the reference convention (shot.py:51-70)."""
@@ -282,6 +340,13 @@ def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
         (lo(az_nb, elev_bin, rad_bin), abs_az),
     ]
     cos_nb_terms = [(base, abs_cos)]
+
+    if _DEBUG["enabled"]:  # trace-time flag; enable_debug_checks clears caches
+        total_w = w_same + w_husk_nb + w_vert_nb + abs_az + abs_cos
+        n_bad_bin, n_bad_w = _binning_violations(
+            cos_bin, cos_nb, az_bin, elev_bin, rad_bin, total_w, valid
+        )
+        jax.debug.callback(_debug_report, n_bad_bin, n_bad_w)
     desc = _shot_bilinear_histogram(
         [(cos_bin, cos_bin_terms), (cos_nb, cos_nb_terms)], valid
     )

@@ -292,13 +292,17 @@ def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
 
 
 def _zcolumn_runs(grid: HashGrid, queries: jnp.ndarray):
-    """(start, end) rows for each query's (2h+1)^2 z-column runs (table path
-    only).
+    """(start, end) rows for each query's (2h+1)^2 z-column runs.
 
     The linear cell id is z-minor, so the 2h+1 z-adjacent cells of each
     (dx, dy) offset form one contiguous segment: start = cell_starts at
     (x+dx, y+dy, max(z-h, 0)), end = cell_starts at (x+dx, y+dy,
-    min(z+h, dz-1) + 1)."""
+    min(z+h, dz-1) + 1).  Table-less grids (pathologically sparse: n_cells >
+    max(8N, 2^24), where the dense start table would dwarf the cloud) get the
+    same runs from two binary searches over the sorted cell ids per column —
+    slower, but every grouped-window consumer (SHOT/FPFH/PCA window paths,
+    fused program, sharded descriptors, grid 1-NN) stays EXACT instead of
+    silently returning empty windows (ADVICE r2 #1)."""
     h = grid.halo
     qcell = jnp.floor((queries - grid.origin) / grid.cell_size).astype(jnp.int32)
     xy = qcell[:, None, :2] + _offsets_xy(h)[None, :, :]  # (Qc, R, 2)
@@ -308,10 +312,17 @@ def _zcolumn_runs(grid: HashGrid, queries: jnp.ndarray):
     in_grid = (in_grid & (qcell[:, 2:3] >= -h)
                & (qcell[:, 2:3] <= grid.dims[2] + h - 1) & (z_hi >= z_lo))
     base = (xy[..., 0] * grid.dims[1] + xy[..., 1]) * grid.dims[2]
-    lo = jnp.clip(base + z_lo, 0, grid.cell_starts.shape[0] - 1)
-    hi = jnp.clip(base + z_hi + 1, 0, grid.cell_starts.shape[0] - 1)
-    start = jnp.where(in_grid, grid.cell_starts[lo], 0)
-    end = jnp.where(in_grid, grid.cell_starts[hi], 0)
+    if grid.has_table:
+        lo = jnp.clip(base + z_lo, 0, grid.cell_starts.shape[0] - 1)
+        hi = jnp.clip(base + z_hi + 1, 0, grid.cell_starts.shape[0] - 1)
+        start = jnp.where(in_grid, grid.cell_starts[lo], 0)
+        end = jnp.where(in_grid, grid.cell_starts[hi], 0)
+    else:
+        lo_id = jnp.where(in_grid, base + z_lo, -1)
+        hi_id = jnp.where(in_grid, base + z_hi, -1)
+        start = jnp.searchsorted(grid.cell_ids_sorted, lo_id, side="left")
+        end = jnp.searchsorted(grid.cell_ids_sorted, hi_id, side="right")
+        end = jnp.where(in_grid, end, start)
     return start.astype(jnp.int32), jnp.maximum(end, start).astype(jnp.int32)
 
 

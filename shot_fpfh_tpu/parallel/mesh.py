@@ -17,7 +17,17 @@ POINTS_AXIS = "points"
 
 
 def make_mesh(n_devices: int = 0, axis: str = POINTS_AXIS) -> Mesh:
-    """1-D mesh over up to ``n_devices`` visible devices (0 = all)."""
+    """1-D mesh over up to ``n_devices`` visible devices (0 = all).
+
+    The axis name must be ``POINTS_AXIS``: every shard_map/PartitionSpec in
+    ``parallel.sharded`` binds that name, so a mesh built with any other axis
+    would make every sharded stage raise an unbound-axis error deep inside a
+    traced program (ADVICE r2 #2) — fail loudly here instead."""
+    if axis != POINTS_AXIS:
+        raise ValueError(
+            f"mesh axis must be {POINTS_AXIS!r} (the name every sharded stage "
+            f"binds); got {axis!r}"
+        )
     devices = jax.devices()
     if n_devices:
         devices = devices[:n_devices]

@@ -182,8 +182,19 @@ def quantile_filter(distances: np.ndarray, quantiles: tuple[float, float]) -> np
 
 
 def left_median_filter(distances: np.ndarray) -> np.ndarray:
+    """Keep matches in the band between halfway-to-the-median and the median.
+
+    Documented deviation: the reference computes the lower edge from
+    ``distances.nonzero()[0].min()`` — the minimum *index* of a nonzero
+    distance, not the minimum nonzero distance
+    (reference matching/filters.py:34-40).  This implements the evident
+    intent: the band floor is halfway between the smallest nonzero distance
+    and the median (same "smallest nonzero" convention ``threshold_filter``
+    already uses)."""
     med = np.median(distances)
-    return (distances <= med) & (distances >= (med + distances.nonzero()[0].min()) / 2)
+    nonzero = distances[np.nonzero(distances)[0]]
+    floor = nonzero.min() if len(nonzero) else 0.0
+    return (distances <= med) & (distances >= (med + floor) / 2)
 
 
 def match_descriptors(

@@ -242,3 +242,31 @@ def test_grouped_window_gather_fragmented_budget(rng):
     found = ok.sum(axis=1)
     want = (d_brute <= radius).sum(axis=1)
     np.testing.assert_array_equal(found, want)
+
+
+def test_window_path_tableless_grid(rng):
+    """Table-less (sparse) grids must produce EXACT windows through the
+    grouped gather — previously every window came back silently empty, so
+    the uncapped SHOT/FPFH/PCA/fused/sharded paths returned all-zero
+    descriptors on large-extent sparse clouds (ADVICE r2 #1)."""
+    from shot_fpfh_tpu.ops.grid_hash import (
+        HashGrid, grid_nearest_neighbor, window_distances,
+    )
+
+    pts = rng.uniform(-400, 400, size=(257, 3)).astype(np.float32)
+    radius = 3.0
+    grid = build_grid(pts, radius)
+    grid_nt = HashGrid(grid.packed_sorted, grid.orig_idx, grid.cell_ids_sorted,
+                       grid.origin, grid.dims, grid.cell_size,
+                       jnp.zeros((1,), jnp.int32), grid.cell_cap, False,
+                       27 * grid.cell_cap, 3 * grid.cell_cap, 1)
+    q = pts[:32]
+    _vals, dist, valid, rows = window_distances(grid_nt, jnp.asarray(q))
+    got = (np.asarray(valid) & (np.asarray(dist) <= radius)).sum(axis=1)
+    d = np.linalg.norm(q[:, None, :] - pts[None, :, :], axis=-1)
+    np.testing.assert_array_equal(got, (d <= radius).sum(axis=1))
+    # 1-NN through the same grid agrees with the oracle
+    qq = q + rng.uniform(-0.5, 0.5, size=q.shape).astype(np.float32)
+    best, idx = grid_nearest_neighbor(grid_nt, jnp.asarray(qq))
+    want = np.linalg.norm(qq[:, None, :] - pts[None, :, :], axis=-1).min(axis=1)
+    assert np.allclose(np.asarray(best), want, atol=1e-5)

@@ -85,3 +85,18 @@ def test_match_descriptors_multiscale(rng):
     ref_ms = np.stack([ref, ref])
     si, ri = match_descriptors(scan_ms, ref_ms, verbose=False)
     assert (ri == pick[si]).mean() > 0.9
+
+
+def test_left_median_filter_uses_min_nonzero_distance():
+    """Pinned semantics (VERDICT r2 weak #5): the band floor is halfway
+    between the smallest NONZERO DISTANCE and the median — not the
+    reference's minimum *index* of a nonzero entry (filters.py:38-40)."""
+    from shot_fpfh_tpu.registration import left_median_filter
+
+    d = np.array([0.0, 4.0, 10.0, 6.0, 20.0, 5.0])
+    med = np.median(d)          # 5.5
+    floor = (med + 4.0) / 2     # 4.75
+    keep = left_median_filter(d)
+    want = (d <= med) & (d >= floor)
+    np.testing.assert_array_equal(keep, want)
+    assert keep[5] and not keep[1]  # 5.0 in band; 4.0 below the floor

@@ -288,3 +288,47 @@ def test_grid_window_bi_scale_matches_bruteforce(rng):
         True, 5,
     )
     np.testing.assert_allclose(desc_big, np.asarray(desc_ref), atol=2e-3)
+
+
+def test_shot_debug_checks_clean_batch(rng):
+    """A real descriptor batch under --debug_shot reports zero violations
+    (counterpart of reference shot.py:414-463 debug_mode)."""
+    from shot_fpfh_tpu.models.shot import (
+        debug_violation_count, enable_debug_checks,
+    )
+
+    pts = np.asarray(rng.normal(size=(300, 3)), np.float32)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    enable_debug_checks(True)
+    try:
+        desc, _ = compute_shot_descriptor(
+            pts[:32], pts, normals, 0.8, min_neighborhood_size=1
+        )
+        np.asarray(desc)  # force execution so callbacks flush
+        assert debug_violation_count() == 0
+        assert np.isfinite(np.asarray(desc)).all()
+    finally:
+        enable_debug_checks(False)
+
+
+def test_shot_debug_checks_catch_injected_bad_bin(rng):
+    """An out-of-range cosine (bypassing the public entry's clip) must be
+    flagged by the debug checks."""
+    from shot_fpfh_tpu.models.shot import (
+        _shot_accumulate, debug_violation_count, enable_debug_checks,
+    )
+
+    q, k = 4, 16
+    lx = jnp.asarray(rng.normal(size=(q, k)), jnp.float32)
+    ly = jnp.asarray(rng.normal(size=(q, k)), jnp.float32)
+    lz = jnp.asarray(rng.normal(size=(q, k)), jnp.float32)
+    rho = jnp.sqrt(lx**2 + ly**2 + lz**2) * 0.1
+    cosine = jnp.full((q, k), 5.0)  # invalid: cos must be in [-1, 1]
+    valid = jnp.ones((q, k), bool)
+    enable_debug_checks(True)
+    try:
+        out = _shot_accumulate(lx, ly, lz, rho, cosine, valid, 1.0, True, 1)
+        np.asarray(out)
+        assert debug_violation_count() > 0
+    finally:
+        enable_debug_checks(False)
