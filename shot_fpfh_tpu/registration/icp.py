@@ -59,7 +59,10 @@ def _icp_loop(scan_sub, ref, ref_normals, init: RigidTransform, d_max, max_iter,
             rms = jnp.sum(residual * w) / wsum
         else:
             delta = solve_point_to_point(moved, target, w)
-            rms = jnp.sqrt(jnp.sum(w * dist**2) / wsum)
+            # grid 1-NN reports inf for window-miss queries; their w is 0 but
+            # 0 * inf**2 would still poison the RMS with NaN
+            safe = jnp.where(w > 0, dist, 0.0)
+            rms = jnp.sqrt(jnp.sum(w * safe**2) / wsum)
         composed = delta @ tf
         done = rms < rms_threshold
         return i + 1, composed.rotation, composed.translation, rms, done

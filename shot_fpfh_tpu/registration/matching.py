@@ -19,6 +19,7 @@ ratio test (keep ``d1/d2 <= threshold``).
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Callable
 
@@ -92,6 +93,114 @@ def top2_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray):
     idx, d1, d2 = jax.lax.map(one_chunk, ap.reshape(n_chunks, _CHUNK, -1))
     n = a.shape[0]
     return idx.reshape(-1)[:n], d1.reshape(-1)[:n], d2.reshape(-1)[:n]
+
+
+# ----------------------------------------------------- multiscale kernels ---
+# Sentinel for invalid entries of the multiscale distance matrix (the
+# reference's ``max_val = 1000.0``, matching/matching.py:96); matches whose
+# combined distance reaches it are dropped.
+MS_MAX_VAL = 1000.0
+
+
+def _ms_chunk_dists(a_chunk, b, a_ok_chunk, b_ok):
+    """(chunk, R) sentinel-masked distances for one scale — the only dense
+    tile the multiscale matcher ever materializes."""
+    d2 = descriptor_sq_dists(a_chunk, b)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    return jnp.where(a_ok_chunk[:, None] & b_ok[None, :], d, MS_MAX_VAL)
+
+
+def _ms_scale_pass(a, b, a_ok, b_ok, row_base: int = 0, vary=None):
+    """One scale's row argmin and running column argmin, chunked over scan
+    rows.  Returns ``(row_argmin (Q,), col_min (R,), col_argmin (R,))`` —
+    column indices of the argmins are global scan-row ids (``row_base`` +
+    local), so sharded callers can combine shards exactly.  Ties resolve to
+    the first (lowest) row/column index, matching ``np.argmin``.
+
+    ``vary``: shard_map callers pass a pcast-to-varying so the scan carry
+    init (built from constants, hence replicated) typechecks against the
+    shard-dependent carry updates."""
+    if vary is None:
+        vary = lambda x: x  # noqa: E731
+    n = a.shape[0]
+    ap, n_chunks = _pad_rows(a, _CHUNK)
+    okp = jnp.pad(a_ok, (0, ap.shape[0] - n), constant_values=False)
+    n_ref = b.shape[0]
+
+    def step(carry, xs):
+        col_d, col_i = carry
+        a_c, ok_c, base = xs
+        d = _ms_chunk_dists(a_c, b, ok_c, b_ok)
+        d_local = jnp.min(d, axis=0)
+        i_local = jnp.argmin(d, axis=0).astype(jnp.int32)
+        better = d_local < col_d  # strict: earlier chunk wins ties
+        col_d = jnp.where(better, d_local, col_d)
+        col_i = jnp.where(better, base + i_local, col_i)
+        return (col_d, col_i), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    bases = row_base + _CHUNK * jnp.arange(n_chunks, dtype=jnp.int32)
+    (col_d, col_i), row_i = jax.lax.scan(
+        step,
+        (vary(jnp.full((n_ref,), jnp.inf, jnp.float32)),
+         vary(jnp.zeros((n_ref,), jnp.int32))),
+        (ap.reshape(n_chunks, _CHUNK, -1), okp.reshape(n_chunks, _CHUNK), bases),
+    )
+    return row_i.reshape(-1)[:n], col_d, col_i
+
+
+def _ms_combined_top1(a_ms, b_ms, row_ok_ms, b_ok_ms, vary=None):
+    """Row argmin + distance of ``min_s D_s`` without materializing any
+    K x K matrix: scan-row chunks x a lax.scan over scales carrying the
+    running elementwise minimum."""
+    if vary is None:
+        vary = lambda x: x  # noqa: E731
+    n = a_ms.shape[1]
+    n_ref = b_ms.shape[1]
+    n_chunks = -(-n // _CHUNK)
+    pad = n_chunks * _CHUNK - n
+    ap = jnp.pad(a_ms, ((0, 0), (0, pad), (0, 0)))
+    okp = jnp.pad(row_ok_ms, ((0, 0), (0, pad)), constant_values=False)
+
+    def one_chunk(xs):
+        a_sc, ok_sc = xs  # (S, C, D), (S, C)
+
+        def scale_step(run_min, scale_xs):
+            a_s, ok_s, b_s, bok_s = scale_xs
+            return jnp.minimum(run_min, _ms_chunk_dists(a_s, b_s, ok_s, bok_s)), None
+
+        run0 = vary(jnp.full((a_sc.shape[1], n_ref), MS_MAX_VAL, jnp.float32))
+        run, _ = jax.lax.scan(scale_step, run0, (a_sc, ok_sc, b_ms, b_ok_ms))
+        idx = jnp.argmin(run, axis=1).astype(jnp.int32)
+        return idx, jnp.take_along_axis(run, idx[:, None], axis=1)[:, 0]
+
+    idx, dist = jax.lax.map(
+        one_chunk,
+        (ap.reshape(a_ms.shape[0], n_chunks, _CHUNK, -1).transpose(1, 0, 2, 3),
+         okp.reshape(a_ms.shape[0], n_chunks, _CHUNK).transpose(1, 0, 2)),
+    )
+    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("filter_nonreciprocal",))
+def multiscale_top1(scan_ms, ref_ms, *, filter_nonreciprocal: bool = False):
+    """Single-device multiscale matcher: per scan point, the nearest ref
+    point under the running-min-over-scales distance with optional per-scale
+    reciprocal rejection (whole non-reciprocal rows masked to the sentinel,
+    as the reference does with ``sub[non_recip] = max_val``).  Returns
+    ``(idx (Q,), dist (Q,))``; rows whose distance reaches ``MS_MAX_VAL``
+    carry no valid match."""
+    s_ok = jnp.any(scan_ms != 0, axis=2)  # (S, Q)
+    r_ok = jnp.any(ref_ms != 0, axis=2)   # (S, R)
+    row_ok = s_ok
+    if filter_nonreciprocal:
+        def recip_scale(xs):
+            a, a_ok, b, b_ok = xs
+            row_i, _, col_i = _ms_scale_pass(a, b, a_ok, b_ok)
+            return col_i[row_i] == jnp.arange(a.shape[0], dtype=jnp.int32)
+
+        recip = jax.lax.map(recip_scale, (scan_ms, s_ok, ref_ms, r_ok))
+        row_ok = s_ok & recip
+    return _ms_combined_top1(scan_ms, ref_ms, row_ok, r_ok)
 
 
 def _nonzero_rows(desc: np.ndarray) -> np.ndarray:
@@ -243,39 +352,38 @@ def match_descriptors(
             logger.info("Kept %d matches out of %d descriptors.", keep.sum(), len(scan_nz))
         return scan_nz[keep], ref_nz[idx[keep]]
 
-    # multiscale: min over per-scale distance matrices ("infinite-norm proximity")
-    scan_descriptors = np.asarray(scan_descriptors)
-    ref_descriptors = np.asarray(ref_descriptors)
-    max_val = 1000.0
-    n_scales, n_points, _ = scan_descriptors.shape
-    n_ref = ref_descriptors.shape[1]
-    inf_dm = np.full((n_points, n_ref), max_val)
-    for scale in range(n_scales):
-        s_nz = np.any(scan_descriptors[scale], axis=1)
-        r_nz = np.any(ref_descriptors[scale], axis=1)
-        dm = np.full((n_points, n_ref), max_val)
-        d2 = descriptor_sq_dists(
-            jnp.asarray(scan_descriptors[scale][s_nz], jnp.float32),
-            jnp.asarray(ref_descriptors[scale][r_nz], jnp.float32),
+    # multiscale: min over per-scale distance matrices ("infinite-norm
+    # proximity", reference matching/matching.py:77-136) — device-resident and
+    # chunked: the K_scan x K_ref matrix only ever exists one scan-chunk at a
+    # time (running min across scales carried through a lax.scan), and on a
+    # multi-device mesh the scan rows shard with the reciprocal column
+    # reduction riding an all_gather.
+    scan_ms = jnp.asarray(np.asarray(scan_descriptors), jnp.float32)
+    ref_ms = jnp.asarray(np.asarray(ref_descriptors), jnp.float32)
+    n_points = scan_ms.shape[1]
+    if _use_mesh(mesh):
+        from ..parallel.sharded import sharded_multiscale_match
+
+        idx_j, dist_j = sharded_multiscale_match(
+            np.asarray(scan_ms), np.asarray(ref_ms), mesh,
+            filter_nonreciprocal=filter_nonreciprocal,
         )
-        sub = np.sqrt(np.asarray(d2))
-        if filter_nonreciprocal:
-            non_recip = sub.argmin(axis=0)[sub.argmin(axis=1)] != np.arange(s_nz.sum())
-            sub[non_recip] = max_val
-        dm[np.ix_(s_nz, r_nz)] = sub
-        inf_dm = np.minimum(inf_dm, dm)
-    indices = inf_dm.argmin(axis=1)
-    distances = inf_dm[np.arange(n_points), indices]
+    else:
+        idx_j, dist_j = multiscale_top1(
+            scan_ms, ref_ms, filter_nonreciprocal=filter_nonreciprocal
+        )
+    indices = np.asarray(idx_j)
+    distances = np.asarray(dist_j)
     keep = (
         filter_callback(distances, **kwargs)
         if filter_callback is not None
         else np.ones(n_points, bool)
-    ) & (distances < max_val)
+    ) & (distances < MS_MAX_VAL)
     if keep.sum() < n_min_matches and filter_nonreciprocal:
         logger.warning("Too few reciprocal matches, keeping non-reciprocal matches.")
         return match_descriptors(
             scan_descriptors, ref_descriptors, filter_callback,
-            filter_nonreciprocal=False, verbose=verbose, **kwargs,
+            filter_nonreciprocal=False, verbose=verbose, mesh=mesh, **kwargs,
         )
     if verbose:
         logger.info("Kept %d matches out of %d descriptors.", keep.sum(), n_points)

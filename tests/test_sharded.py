@@ -179,3 +179,83 @@ def test_scaling_efficiency_target_on_hardware():
         device_counts=(1, 0), stage="shot",
     )
     assert res["efficiency"] >= 0.8, f"scaling efficiency {res['efficiency']:.0%}"
+
+
+def test_sharded_multiscale_match_parity(mesh):
+    """8-device multiscale matching == single-device multiscale_top1 (same
+    running-min kernel, reciprocal column argmin combined via all_gather) —
+    VERDICT r2 next #3."""
+    from shot_fpfh_tpu.parallel.sharded import sharded_multiscale_match
+    from shot_fpfh_tpu.registration.matching import multiscale_top1
+
+    rng = np.random.default_rng(11)
+    scan_ms = rng.normal(size=(2, 83, 16)).astype(np.float32)  # 83: not /8
+    ref_ms = rng.normal(size=(2, 97, 16)).astype(np.float32)
+    scan_ms[0, :7] = 0.0
+    ref_ms[1, 10:25] = 0.0
+    for reciprocal in (False, True):
+        idx_s, dist_s = sharded_multiscale_match(
+            scan_ms, ref_ms, mesh, filter_nonreciprocal=reciprocal
+        )
+        idx_1, dist_1 = multiscale_top1(
+            jnp.asarray(scan_ms), jnp.asarray(ref_ms),
+            filter_nonreciprocal=reciprocal,
+        )
+        np.testing.assert_array_equal(idx_s, np.asarray(idx_1))
+        np.testing.assert_allclose(dist_s, np.asarray(dist_1), atol=1e-5)
+
+
+def test_match_descriptors_multiscale_mesh_route(mesh):
+    """match_descriptors routes the multiscale branch through the mesh and
+    agrees with the single-device result."""
+    from shot_fpfh_tpu.registration import match_descriptors
+
+    rng = np.random.default_rng(12)
+    ref = rng.normal(size=(64, 16)).astype(np.float32)
+    pick = rng.choice(64, 40, replace=False)
+    scan = ref[pick] + 0.01 * rng.normal(size=(40, 16)).astype(np.float32)
+    scan_ms = np.stack([scan, scan])
+    ref_ms = np.stack([ref, ref])
+    si_m, ri_m = match_descriptors(scan_ms, ref_ms, verbose=False, mesh=mesh)
+    si_1, ri_1 = match_descriptors(scan_ms, ref_ms, verbose=False)
+    np.testing.assert_array_equal(si_m, si_1)
+    np.testing.assert_array_equal(ri_m, ri_1)
+
+
+def test_sharded_icp_grid_parity_large_ref(mesh):
+    """Above AUTO_GRID_MIN_POINTS the sharded ICP dispatches through the
+    replicated grid-hash 1-NN (VERDICT r2 next #4) and agrees with the
+    single-device grid path."""
+    from shot_fpfh_tpu.registration.icp import icp_point_to_plane
+
+    rng = np.random.default_rng(17)
+    xy = rng.uniform(-4, 4, size=(24_000, 2))
+    ref = np.column_stack(
+        [xy, 0.5 * np.sin(1.7 * xy[:, 0]) * np.cos(1.1 * xy[:, 1])]
+    ).astype(np.float32)
+    ref_n = np.asarray(compute_normals(ref, ref, k=12))
+    ang = 0.04
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    scan = (ref @ R.T + np.array([0.05, -0.03, 0.01], np.float32))[::5]
+
+    single = icp_point_to_plane(
+        scan, ref, ref_n, RigidTransform.identity(),
+        d_max=0.5, voxel_size=0.25, max_iter=12, rms_threshold=1e-5,
+    )
+    from shot_fpfh_tpu.core import grid_subsample
+
+    sub = grid_subsample(scan, 0.25)
+    tf, rms, conv, n_iters = sharded_icp(
+        scan[sub], ref, ref_n, RigidTransform.identity(), mesh,
+        d_max=0.5, max_iter=12, rms_threshold=1e-5, point_to_plane=True,
+    )
+    ang_diff = float(rotation_angle(tf.rotation, single.transform.rotation))
+    assert ang_diff < 1e-3, f"sharded-vs-single grid ICP diverged: {ang_diff}"
+    np.testing.assert_allclose(
+        np.asarray(tf.translation), np.asarray(single.transform.translation),
+        atol=5e-3,
+    )
+    assert n_iters == single.n_iters
