@@ -83,3 +83,33 @@ def plot_distance_hists(scan, ref, exact_transformation, scan_descriptors, ref_d
     fig.savefig("distance_hists.png")
     plt.close(fig)
     return correct, incorrect
+
+
+def plot_neighborhood_sizes(sizes, output_path: str = "neighborhood_sizes.png"):
+    """Neighborhood-size distribution: logs mean/std/min/max and renders the
+    histogram when matplotlib is available (reference
+    ``compute_pca_based_features``'s inline plot,
+    pca_based_descriptors.py:105-119).  Always returns ``(counts, edges)``."""
+    import logging
+
+    sizes = np.asarray(sizes).reshape(-1)
+    logging.getLogger(__name__).info(
+        "Average size of neighborhoods: %.4f (std %.4f, min %d, max %d)",
+        float(np.mean(sizes)), float(np.std(sizes)),
+        int(np.min(sizes)), int(np.max(sizes)),
+    )
+    counts, edges = np.histogram(sizes, bins="auto")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+    except ImportError:
+        return counts, edges
+    plt.hist(edges[:-1], bins=edges, weights=counts)
+    plt.title(f"Histogram of the neighborhood sizes for {len(counts)} bins")
+    plt.xlabel("Neighborhood size")
+    plt.ylabel("Number of neighborhoods")
+    plt.savefig(output_path)
+    plt.close()
+    return counts, edges

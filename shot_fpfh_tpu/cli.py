@@ -101,6 +101,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                               "report on (reference parse_args.py:35-38).")
     compute.add_argument("--state_cache", type=str, default=None,
                          help="npz path: save/resume keypoints+descriptors+matches")
+    compute.add_argument("--fused", action="store_const", const=True, default=None,
+                         help="Run keypoints+SHOT+matching+RANSAC+ICP as ONE "
+                              "XLA program (zero host round-trips). Requires "
+                              "subsampling keypoints, shot_single_scale "
+                              "descriptors and simple/ratio/double matching; "
+                              "falls back to the staged pipeline (with a "
+                              "warning) otherwise.")
     compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
     compute.add_argument("--debug_shot", action="store_const", const=True, default=None,
                          help="Validate SHOT bin indices and quadrilinear "
@@ -188,104 +195,157 @@ def main(argv=None) -> int:
         mesh=mesh,
     )
 
-    # cache key: every section that determines the cached state (keypoints,
-    # descriptors, AND matches — the cache stores matches and the pipeline
-    # early-returns on them) — a cache written under a different config must
-    # not be resumed.  The INPUT CLOUDS are part of the key too (path +
-    # size + mtime): reusing one --state_cache file across different cloud
-    # pairs must not silently resume the wrong pair's keypoints (ADVICE r2 #3).
-    def _file_id(path: str):
-        try:
-            st = os.stat(path)
-            return [path, st.st_size, st.st_mtime_ns]
-        except OSError:
-            return [path, -1, -1]
-
-    state_key = hashlib.sha256(json.dumps(
-        {"kp": repr(config["keypoint_selection"]),
-         "desc": repr(config["descriptor"]),
-         "match": repr(config["matching"]),
-         "caps": [compute_cfg.k_max_descriptor, compute_cfg.k_max_fpfh,
-                  compute_cfg.normals_k],
-         "inputs": [_file_id(args.scan_file_path),
-                    _file_id(args.ref_file_path)]},
-        sort_keys=True,
-    ).encode()).hexdigest()
-    state_resumed = False
-    if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):
-        logger.info("Resuming intermediate state from %s", compute_cfg.state_cache)
-        state_resumed = pipeline.load_state(
-            compute_cfg.state_cache, config_key=state_key
-        )
-
     kp_cfg = config["keypoint_selection"]
-    logger.info(kp_cfg.help_message())
-    pipeline.select_keypoints(
-        kp_cfg.selection_algorithm,
-        neighborhood_size=kp_cfg.neighborhood_size,
-        min_n_neighbors=kp_cfg.min_n_neighbors,
-    )
-    timer("Keypoint selection")
-
     desc_cfg = config["descriptor"]
-    logger.info(desc_cfg.help_message())
-    pipeline.compute_descriptors(
-        radius=desc_cfg.radius,
-        descriptor_choice=desc_cfg.descriptor_choice,
-        fpfh_n_bins=desc_cfg.fpfh_n_bins,
-        phi=desc_cfg.phi,
-        rho=desc_cfg.rho,
-        n_scales=desc_cfg.n_scales,
-        subsample_support=desc_cfg.subsample_support,
-        normalize=desc_cfg.normalize,
-        share_local_rfs=desc_cfg.share_local_rfs,
-        min_neighborhood_size=desc_cfg.min_neighborhood_size,
-    )
-    timer("Descriptors")
-
-    if compute_cfg.state_cache and not state_resumed:
-        # also OVERWRITES a cache that was refused for a config mismatch —
-        # otherwise the stale file would disable checkpoint/resume forever
-        pipeline.save_state(compute_cfg.state_cache, config_key=state_key)
-        logger.info("Saved intermediate state to %s", compute_cfg.state_cache)
-
     match_cfg = config["matching"]
-    logger.info(match_cfg.help_message())
-    pipeline.find_descriptors_matches(
-        match_cfg.matching_algorithm,
-        reject_threshold=match_cfg.reject_threshold,
-        threshold_multiplier=match_cfg.threshold_multiplier,
-    )
-    timer("Matching")
-    if exact_transform is not None:
-        pipeline.analyze_matches(match_cfg.matching_algorithm, exact_transform)
-
     ransac_cfg = config["ransac"]
-    logger.info(ransac_cfg.help_message())
-    transform_ransac, inlier_ratio = pipeline.run_ransac(
-        n_draws=ransac_cfg.n_draws,
-        draw_size=ransac_cfg.draw_size,
-        max_inliers_distance=ransac_cfg.max_inliers_distance,
-        seed=ransac_cfg.seed,
-        exact_transformation=exact_transform,
-    )
-    logger.info("RANSAC inlier ratio: %.3f", inlier_ratio)
-    logger.info("RANSAC transform:\n%r", transform_ransac)
-    timer("RANSAC")
-
     icp_cfg = config["icp"]
-    logger.info(icp_cfg.help_message())
-    transform_icp, rms, converged = pipeline.run_icp(
-        icp_cfg.icp_type,
-        transformation_init=transform_ransac,
-        d_max=icp_cfg.d_max,
-        voxel_size=icp_cfg.voxel_size,
-        max_iter=icp_cfg.max_iter,
-        rms_threshold=icp_cfg.rms_threshold,
-    )
-    logger.info("ICP RMS: %.4f (converged: %s)", rms, converged)
-    logger.info("ICP transform:\n%r", transform_icp)
-    timer("ICP")
+
+    use_fused = False
+    if compute_cfg.fused:
+        # the fused program covers the subsampling-keypoint + single-scale
+        # SHOT + nearest/ratio-matching configuration; anything else stages
+        if kp_cfg.selection_algorithm != "subsampling" or not kp_cfg.neighborhood_size:
+            reason = "keypoint selection must be 'subsampling' with a neighborhood_size"
+        elif desc_cfg.descriptor_choice != "shot_single_scale":
+            reason = "descriptor must be shot_single_scale"
+        elif match_cfg.matching_algorithm not in ("simple", "ratio", "double"):
+            reason = "matching must be simple/ratio/double"
+        elif mesh is not None:
+            reason = "the fused program is single-chip (drop --n_devices)"
+        elif compute_cfg.state_cache:
+            reason = "the fused program has no resumable intermediate state"
+        else:
+            reason, use_fused = None, True
+        if reason:
+            logger.warning("--fused requested but staging instead: %s", reason)
+
+    if use_fused:
+        logger.info("Fused single-program registration (radius=%s).", desc_cfg.radius)
+        ratio = (match_cfg.reject_threshold
+                 if match_cfg.matching_algorithm in ("ratio", "double") else 1.0)
+        res = pipeline.run_fused(
+            keypoint_voxel=kp_cfg.neighborhood_size,
+            icp_voxel=icp_cfg.voxel_size,
+            radius=desc_cfg.radius,
+            ratio_threshold=ratio,
+            ransac_threshold=ransac_cfg.max_inliers_distance,
+            d_max=icp_cfg.d_max,
+            rms_threshold=icp_cfg.rms_threshold,
+            min_neighborhood_size=desc_cfg.min_neighborhood_size,
+            n_draws=ransac_cfg.n_draws,
+            draw_size=ransac_cfg.draw_size,
+            max_iter=icp_cfg.max_iter,
+            point_to_plane=icp_cfg.icp_type == "point_to_plane",
+            seed=ransac_cfg.seed,
+        )
+        transform_ransac = res.ransac_transform
+        inlier_ratio = float(res.ransac_inlier_ratio)
+        transform_icp = res.icp_transform
+        rms = float(res.icp_rms)
+        converged = bool(res.icp_converged)
+        logger.info(
+            "Fused: %d matches, RANSAC inlier ratio %.3f",
+            int(res.n_matches), inlier_ratio,
+        )
+        logger.info("RANSAC transform:\n%r", transform_ransac)
+        logger.info("ICP RMS: %.4f (converged: %s)", rms, converged)
+        logger.info("ICP transform:\n%r", transform_icp)
+        timer("Fused registration")
+    else:
+        # cache key: every section that determines the cached state (keypoints,
+        # descriptors, AND matches — the cache stores matches and the pipeline
+        # early-returns on them) — a cache written under a different config must
+        # not be resumed.  The INPUT CLOUDS are part of the key too (path +
+        # size + mtime): reusing one --state_cache file across different cloud
+        # pairs must not silently resume the wrong pair's keypoints (ADVICE r2 #3).
+        def _file_id(path: str):
+            try:
+                st = os.stat(path)
+                return [path, st.st_size, st.st_mtime_ns]
+            except OSError:
+                return [path, -1, -1]
+
+        state_key = hashlib.sha256(json.dumps(
+            {"kp": repr(config["keypoint_selection"]),
+             "desc": repr(config["descriptor"]),
+             "match": repr(config["matching"]),
+             "caps": [compute_cfg.k_max_descriptor, compute_cfg.k_max_fpfh,
+                      compute_cfg.normals_k],
+             "inputs": [_file_id(args.scan_file_path),
+                        _file_id(args.ref_file_path)]},
+            sort_keys=True,
+        ).encode()).hexdigest()
+        state_resumed = False
+        if compute_cfg.state_cache and os.path.exists(compute_cfg.state_cache):
+            logger.info("Resuming intermediate state from %s", compute_cfg.state_cache)
+            state_resumed = pipeline.load_state(
+                compute_cfg.state_cache, config_key=state_key
+            )
+
+        logger.info(kp_cfg.help_message())
+        pipeline.select_keypoints(
+            kp_cfg.selection_algorithm,
+            neighborhood_size=kp_cfg.neighborhood_size,
+            min_n_neighbors=kp_cfg.min_n_neighbors,
+        )
+        timer("Keypoint selection")
+
+        logger.info(desc_cfg.help_message())
+        pipeline.compute_descriptors(
+            radius=desc_cfg.radius,
+            descriptor_choice=desc_cfg.descriptor_choice,
+            fpfh_n_bins=desc_cfg.fpfh_n_bins,
+            phi=desc_cfg.phi,
+            rho=desc_cfg.rho,
+            n_scales=desc_cfg.n_scales,
+            subsample_support=desc_cfg.subsample_support,
+            normalize=desc_cfg.normalize,
+            share_local_rfs=desc_cfg.share_local_rfs,
+            min_neighborhood_size=desc_cfg.min_neighborhood_size,
+        )
+        timer("Descriptors")
+
+        if compute_cfg.state_cache and not state_resumed:
+            # also OVERWRITES a cache that was refused for a config mismatch —
+            # otherwise the stale file would disable checkpoint/resume forever
+            pipeline.save_state(compute_cfg.state_cache, config_key=state_key)
+            logger.info("Saved intermediate state to %s", compute_cfg.state_cache)
+
+        logger.info(match_cfg.help_message())
+        pipeline.find_descriptors_matches(
+            match_cfg.matching_algorithm,
+            reject_threshold=match_cfg.reject_threshold,
+            threshold_multiplier=match_cfg.threshold_multiplier,
+        )
+        timer("Matching")
+        if exact_transform is not None:
+            pipeline.analyze_matches(match_cfg.matching_algorithm, exact_transform)
+
+        logger.info(ransac_cfg.help_message())
+        transform_ransac, inlier_ratio = pipeline.run_ransac(
+            n_draws=ransac_cfg.n_draws,
+            draw_size=ransac_cfg.draw_size,
+            max_inliers_distance=ransac_cfg.max_inliers_distance,
+            seed=ransac_cfg.seed,
+            exact_transformation=exact_transform,
+        )
+        logger.info("RANSAC inlier ratio: %.3f", inlier_ratio)
+        logger.info("RANSAC transform:\n%r", transform_ransac)
+        timer("RANSAC")
+
+        logger.info(icp_cfg.help_message())
+        transform_icp, rms, converged = pipeline.run_icp(
+            icp_cfg.icp_type,
+            transformation_init=transform_ransac,
+            d_max=icp_cfg.d_max,
+            voxel_size=icp_cfg.voxel_size,
+            max_iter=icp_cfg.max_iter,
+            rms_threshold=icp_cfg.rms_threshold,
+        )
+        logger.info("ICP RMS: %.4f (converged: %s)", rms, converged)
+        logger.info("ICP transform:\n%r", transform_icp)
+        timer("ICP")
 
     eval_cfg = config["registration_evaluation"]
     overlap, kp_inliers = pipeline.compute_metrics_post_icp(

@@ -174,6 +174,7 @@ class ComputeConfig(Config):
     n_devices: int = 0            # 0 = all visible devices
     debug_nans: bool = False      # enable jax_debug_nans (debug runs)
     debug_shot: bool = False      # SHOT bin/weight sanity checks (debug runs)
+    fused: bool = False           # single-XLA-program registration path
     state_cache: str = ""         # npz path for descriptor checkpoint/resume
 
     def help_message(self) -> str:

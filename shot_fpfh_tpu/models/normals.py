@@ -223,10 +223,20 @@ def compute_pca_based_basic_features(query_points, cloud_points, radius, k_max: 
     return verticality, linearity, planarity, sphericity
 
 
-def compute_pca_based_features(query_points, cloud_points, radius, k_max: int = 64):
+def compute_pca_based_features(query_points, cloud_points, radius, k_max: int = 64,
+                               verbose: bool = False):
     """Full 21-column eigen-feature stack
-    (reference ``compute_pca_based_features``, pca_based_descriptors.py:187-244)."""
+    (reference ``compute_pca_based_features``, pca_based_descriptors.py:187-244).
+
+    ``verbose`` logs the neighborhood-size statistics and renders their
+    histogram through :func:`shot_fpfh_tpu.analysis.plot_neighborhood_sizes`
+    (the reference's inline ``plt.hist``, pca_based_descriptors.py:105-119);
+    it defaults to False here because it forces a device→host sync."""
     w, v, moments, sizes = local_pca_with_moments(query_points, cloud_points, radius, k_max)
+    if verbose:
+        from ..analysis import plot_neighborhood_sizes
+
+        plot_neighborhood_sizes(np.asarray(sizes))
     lbd3, lbd2, lbd1 = w[..., 0], w[..., 1], w[..., 2] + 1e-6
     normals = v[..., :, 0]
     principal_axis = v[..., :, 2]

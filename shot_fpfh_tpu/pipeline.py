@@ -424,6 +424,60 @@ class RegistrationPipeline:
         )
         return out.transform, out.rms, out.has_converged
 
+    # ------------------------------------------------------------------ fused --
+    def run_fused(
+        self,
+        *,
+        keypoint_voxel: float,
+        icp_voxel: float,
+        radius: float,
+        ratio_threshold: float = 0.9,
+        ransac_threshold: float = 0.3,
+        d_max: float = 0.3,
+        rms_threshold: float = 1e-4,
+        min_neighborhood_size: int = 10,
+        n_draws: int = 2048,
+        draw_size: int = 4,
+        max_iter: int = 40,
+        point_to_plane: bool = True,
+        seed: int = 72,
+    ):
+        """Run the whole registration as ONE XLA program
+        (``registration.fused.register_pair``): keypoints by grid
+        subsampling, SHOT descriptors, ratio matching, RANSAC and ICP fused
+        into a single device program with zero host round-trips — the
+        production serving path the CLI exposes as ``--fused``.
+
+        Returns the :class:`~shot_fpfh_tpu.registration.fused.FusedResult`.
+        The keypoint indices the fused program derived (grid subsampling at
+        ``keypoint_voxel``) are recorded on the pipeline so the post-ICP
+        metrics see the same keypoints as the staged path would."""
+        from .core.subsampling import grid_subsample
+        from .registration.fused import register_pair
+
+        self.metrics.start("fused")
+        res = register_pair(
+            self.scan, self.scan_normals, self.ref, self.ref_normals,
+            keypoint_voxel=keypoint_voxel, icp_voxel=icp_voxel, radius=radius,
+            key=jax.random.key(seed),
+            ratio_threshold=ratio_threshold,
+            ransac_threshold=ransac_threshold,
+            d_max=d_max, rms_threshold=rms_threshold,
+            k_max=self.k_max_descriptor,
+            min_neighborhood_size=min_neighborhood_size,
+            n_draws=n_draws, draw_size=draw_size, max_iter=max_iter,
+            point_to_plane=point_to_plane,
+        )
+        jax.block_until_ready(res.icp_transform.rotation)
+        self.metrics.stop(
+            matches=int(res.n_matches), icp_rms=float(res.icp_rms),
+        )
+        scan32 = np.asarray(self.scan, np.float32)
+        ref32 = np.asarray(self.ref, np.float32)
+        self.scan_keypoints = np.asarray(grid_subsample(scan32, keypoint_voxel))
+        self.ref_keypoints = np.asarray(grid_subsample(ref32, keypoint_voxel))
+        return res
+
     # ---------------------------------------------------------------- metrics --
     def compute_metrics_post_icp(
         self, transformation_icp: RigidTransform, distance_threshold: float

@@ -131,3 +131,28 @@ def test_pca_features_grid_path_matches_brute(rng):
     feats = np.asarray(compute_pca_based_features(q, pts, radius))
     assert feats.shape == (256, 21)
     assert np.isfinite(feats).all()
+
+
+def test_pca_features_verbose_plots_sizes(rng, caplog):
+    """verbose=True routes through plot_neighborhood_sizes (reference
+    pca_based_descriptors.py:105-119) and logs the stats."""
+    import logging
+
+    from shot_fpfh_tpu.models.normals import compute_pca_based_features
+
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    with caplog.at_level(logging.INFO):
+        feats = compute_pca_based_features(pts[:40], pts, 0.8, verbose=True)
+    assert feats.shape == (40, 21)
+    assert any("Average size of neighborhoods" in r.message for r in caplog.records)
+
+
+def test_plot_neighborhood_sizes_returns_histogram(rng, tmp_path):
+    from shot_fpfh_tpu.analysis import plot_neighborhood_sizes
+
+    sizes = rng.integers(5, 60, size=300)
+    counts, edges = plot_neighborhood_sizes(
+        sizes, output_path=str(tmp_path / "h.png")
+    )
+    assert counts.sum() == 300
+    assert len(edges) == len(counts) + 1
