@@ -199,6 +199,13 @@ def _shot_bilinear_histogram(groups, valid, chunk: int = 512) -> jnp.ndarray:
     Returns (Q, 352) float32."""
     n_lo = N_AZIMUTH_BINS * N_ELEVATION_BINS * N_RADIAL_BINS
     q, m = valid.shape
+    # One-shot (single scan step) whenever the (Q, m, 32) one-hot operand
+    # fits a ~1 GB budget: the chunked scan re-streams the cell-side operand
+    # through HBM once per chunk, measured 2.05 -> 1.11 ms at (4096, 768) by
+    # just widening the chunk to the full window.  The scan stays for
+    # at-scale windows that would not fit.
+    if q * m * n_lo * 4 <= 1 << 30:
+        chunk = max(chunk, m)
     n_chunks = -(-m // chunk)
     pad = n_chunks * chunk - m
 

@@ -270,3 +270,44 @@ def test_window_path_tableless_grid(rng):
     best, idx = grid_nearest_neighbor(grid_nt, jnp.asarray(qq))
     want = np.linalg.norm(qq[:, None, :] - pts[None, :, :], axis=-1).min(axis=1)
     assert np.allclose(np.asarray(best), want, atol=1e-5)
+
+
+def test_xyrow_mode_exact_on_surface(rng):
+    """Surface-like clouds auto-select the xy-row run mode (5 full-z runs
+    instead of 25 z-column runs, round-3 headline optimization) and the
+    grouped window stays EXACT vs brute force."""
+    from shot_fpfh_tpu.ops.grid_hash import window_distances
+
+    xy = rng.uniform(-5, 5, size=(3000, 2))
+    z = 0.4 * np.sin(1.3 * xy[:, 0]) * np.cos(0.9 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    radius = 0.8
+    grid = build_grid(pts, radius / 2, halo=2)
+    assert grid.use_xyrow, "flat surface should pick the xy-row mode"
+    q = jnp.asarray(pts[:64])
+    _v, d, ok, rows = window_distances(grid, q)
+    got = (np.asarray(ok) & (np.asarray(d) <= radius)).sum(axis=1)
+    brute = np.linalg.norm(pts[:64, None, :] - pts[None, :, :], axis=-1)
+    np.testing.assert_array_equal(got, (brute <= radius).sum(axis=1))
+    # no duplicate candidates within a window
+    rows_np = np.asarray(rows)
+    ok_np = np.asarray(ok)
+    for i in range(0, 64, 7):
+        rr = rows_np[i][ok_np[i]]
+        assert len(rr) == len(np.unique(rr))
+
+
+def test_xyrow_mode_rejected_for_volumetric(rng):
+    """Deep volumetric clouds (tall z-columns) must stay on z-column runs —
+    the full-z window would balloon the candidate width."""
+    pts = rng.uniform(-3, 3, size=(5000, 3)).astype(np.float32)
+    pts[:, 2] *= 3.0  # stretch z: columns get deep
+    grid = build_grid(pts, 0.25, halo=2)
+    # whether selected or not, the grouped path must stay exact
+    from shot_fpfh_tpu.ops.grid_hash import window_distances
+
+    q = jnp.asarray(pts[:32])
+    _v, d, ok, _ = window_distances(grid, q)
+    got = (np.asarray(ok) & (np.asarray(d) <= 0.5)).sum(axis=1)
+    brute = np.linalg.norm(pts[:32, None, :] - pts[None, :, :], axis=-1)
+    np.testing.assert_array_equal(got, (brute <= 0.5).sum(axis=1))
