@@ -284,6 +284,27 @@ def shot_from_neighborhoods(
                             normalize, min_neighborhood_size)
 
 
+def _shot_finalize(desc, count, normalize, min_neighborhood_size):
+    """Shared tail: L2-normalize and zero out invalid descriptors (the
+    reference's ≤ min_neighborhood_size zero-descriptor convention,
+    shot.py:212,306)."""
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    keep = (count > min_neighborhood_size)[:, None] & (norm > 0)
+    if normalize:
+        desc = desc / jnp.where(norm > 0, norm, 1.0)
+    return jnp.where(keep, desc, 0.0)
+
+
+def _use_fused_kernel() -> bool:
+    """Route the window path through the fused Pallas binning+histogram
+    kernel: TPU only (CPU/virtual-mesh runs keep the XLA path — same math),
+    and only when the debug sanity checks are off (they live in the XLA
+    binning)."""
+    from ..ops.pallas_radius import _on_tpu
+
+    return _on_tpu() and not _DEBUG["enabled"]
+
+
 def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
                      normalize, min_neighborhood_size):
     """Binning + histogram + normalization from per-neighbor (Q, K) scalars
@@ -357,13 +378,8 @@ def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
     desc = _shot_bilinear_histogram(
         [(cos_bin, cos_bin_terms), (cos_nb, cos_nb_terms)], valid
     )
-
-    count = jnp.sum(valid, axis=-1)
-    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
-    keep = (count > min_neighborhood_size)[:, None] & (norm > 0)
-    if normalize:
-        desc = desc / jnp.where(norm > 0, norm, 1.0)
-    return jnp.where(keep, desc, 0.0)
+    return _shot_finalize(desc, jnp.sum(valid, axis=-1), normalize,
+                          min_neighborhood_size)
 
 
 def _local_rfs_ff(centered, rho, ok, radius):
@@ -424,6 +440,21 @@ def shot_from_window_ff(
         rfs = local_rfs
     else:
         rfs = _local_rfs_ff(centered, rho, ok, radius)
+
+    if _use_fused_kernel():
+        # one Pallas program: binning + factored one-hot contraction with the
+        # one-hots built in VMEM — no HBM streaming of the (Q, W, 11/32)
+        # operands and no binning-intermediate round trips (docs/ROOFLINE.md)
+        from ..ops.pallas_shot_fused import shot_binning_histogram
+
+        hist = shot_binning_histogram(
+            window_vals, window_dist, keypoints, rfs, radius
+        )
+        count = jnp.sum(ok & (window_dist > 0), axis=-1)
+        return (
+            _shot_finalize(hist, count, normalize, min_neighborhood_size),
+            rfs,
+        )
 
     local = jnp.einsum("qiw,qij->qjw", centered, rfs)
     lx, ly, lz = local[:, 0, :], local[:, 1, :], local[:, 2, :]

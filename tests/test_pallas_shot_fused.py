@@ -1,0 +1,87 @@
+"""Fused Pallas binning+histogram kernel vs the XLA SHOT accumulation.
+
+The kernel (ops/pallas_shot_fused.py) must reproduce the XLA window path's
+histograms bit-for-bin: same reference conventions (shot.py:51-306), same
+factored algebra, same bf16 weight quantization — only the angle evaluation
+differs (Mosaic atan2 polynomial, ~1e-6 rad).  Runs in interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shot_fpfh_tpu.models import shot as ms
+from shot_fpfh_tpu.ops.pallas_shot_fused import shot_binning_histogram
+
+
+def _window_case(rng, q=12, w=160, radius=0.8, drop=0.1):
+    kp = rng.normal(size=(q, 3)).astype(np.float32)
+    pts = kp[:, None, :] + rng.normal(scale=0.4, size=(q, w, 3)).astype(np.float32)
+    nrm = rng.normal(size=(q, w, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    vals = np.concatenate(
+        [pts, nrm, np.zeros((q, w, 2))], axis=-1
+    ).astype(np.float32)
+    vals_ff = np.moveaxis(vals, 1, 2)  # (Q, 8, W) feature-first
+    d = np.linalg.norm(pts - kp[:, None, :], axis=-1)
+    keep = (d <= radius) & (rng.uniform(size=(q, w)) > drop)
+    dist_inf = np.where(keep, d, np.inf).astype(np.float32)
+    return kp, vals_ff, dist_inf
+
+
+def _xla_histogram(kp, vals_ff, dist_inf, radius):
+    """Unnormalized histograms through the XLA path's exact code."""
+    ok = jnp.isfinite(dist_inf)
+    pts = jnp.asarray(vals_ff[:, :3, :])
+    nrms = jnp.where(ok[:, None, :], jnp.asarray(vals_ff[:, 3:6, :]), 0.0)
+    centered = jnp.where(ok[:, None, :], pts - kp[:, :, None], 0.0)
+    rho = jnp.where(ok, dist_inf, 0.0)
+    rfs = ms._local_rfs_ff(centered, rho, ok, radius)
+    local = jnp.einsum("qiw,qij->qjw", centered, rfs)
+    cosine = jnp.clip(jnp.einsum("qiw,qi->qw", nrms, rfs[..., :, 2]), -1, 1)
+    valid = ok & (rho > 0)
+    hist = ms._shot_accumulate(
+        local[:, 0], local[:, 1], local[:, 2], rho, cosine, valid, radius,
+        normalize=False, min_neighborhood_size=-1,
+    )
+    return hist, rfs
+
+
+def test_fused_kernel_matches_xla_histogram(rng):
+    kp, vals_ff, dist_inf = _window_case(rng)
+    radius = 0.8
+    ref, rfs = _xla_histogram(kp, vals_ff, dist_inf, radius)
+    got = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), rfs,
+        radius, interpret=True,
+    )
+    # bf16 weight quantization bounds the per-bin error in both paths
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    assert float(np.abs(np.asarray(got)).sum()) > 0
+
+
+def test_fused_kernel_query_padding(rng):
+    # Q=11 is not a multiple of the block (8): the pad queries must not leak
+    kp, vals_ff, dist_inf = _window_case(rng, q=11, w=96)
+    radius = 0.8
+    ref, rfs = _xla_histogram(kp, vals_ff, dist_inf, radius)
+    got = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), rfs,
+        radius, interpret=True,
+    )
+    assert got.shape == (11, 352)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_kernel_empty_neighborhoods(rng):
+    kp, vals_ff, dist_inf = _window_case(rng, q=8, w=96)
+    dist_inf[3] = np.inf  # query 3: no valid neighbors -> zero histogram
+    radius = 0.8
+    _, rfs = _xla_histogram(kp, vals_ff, dist_inf, radius)
+    got = np.asarray(shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), rfs,
+        radius, interpret=True,
+    ))
+    assert np.all(got[3] == 0)
+    assert np.abs(got[:3]).sum() > 0
