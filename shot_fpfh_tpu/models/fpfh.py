@@ -30,6 +30,14 @@ from ..ops.histogram import batched_histogram, bin_index, factored_histogram
 from ..ops.grid_hash import radius_search_with_values_auto
 
 
+def _use_fused_spfh() -> bool:
+    """Route the window SPFH through the fused Pallas kernel: TPU only
+    (CPU/virtual-mesh runs keep the XLA path — same math)."""
+    from ..ops.pallas_radius import _on_tpu
+
+    return _on_tpu()
+
+
 def compute_spfh(
     cloud_points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -178,6 +186,15 @@ def _spfh_window_block(grid, qc, qn, radius, n_bins, decorrelated):
     vals, d, win_ok, _rows = window_distances(grid, qc)
     ok = win_ok & (d <= radius)
     valid = ok & (d > 0)
+    if _use_fused_spfh():
+        # one Pallas program: Darboux + binning + one-hot contraction with
+        # the one-hots built in VMEM (see ops/pallas_fpfh_fused.py)
+        from ..ops.pallas_fpfh_fused import spfh_histogram
+
+        count = jnp.maximum(jnp.sum(ok, axis=-1), 1).astype(jnp.float32)
+        dist_inf = jnp.where(ok, d, jnp.inf)
+        hist = spfh_histogram(vals, dist_inf, qc, qn, n_bins, decorrelated)
+        return hist / count[:, None]
     # the Darboux frame needs the raw offsets, not just |d| (XLA CSEs these
     # with the helper's internal diffs)
     dx = vals[:, 0, :] - qc[:, 0:1]

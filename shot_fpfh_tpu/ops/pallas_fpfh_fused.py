@@ -1,0 +1,179 @@
+"""Fused SPFH binning + histogram as one Pallas kernel (FPFH pass 1).
+
+The window SPFH path (``models.fpfh._spfh_window_block``) runs, in XLA:
+Darboux frame -> three bin indices -> ``factored_histogram`` /
+``batched_histogram``.  Exactly like the SHOT leg (``pallas_shot_fused``),
+XLA cannot fuse the one-hot construction into the contraction, so the
+(C, W, n_bins)/(C, W, n_bins²) one-hot operands and the dozen (C, W) Darboux
+intermediates stream through HBM.  At the 1M-point scale the SPFH pass runs
+over EVERY cloud point (reference fpfh.py:38-90), so this streaming is the
+dominant HBM term of the FPFH leg.
+
+This kernel fuses the whole stage per qb-query grid step: Darboux angles
+(Mosaic ``_atan2`` polynomial for θ), NumPy-``histogramdd`` bin semantics
+(left-inclusive uniform bins on the reference ranges, right edge folded in,
+out-of-range neighbors dropped from ALL bins — ``ops.histogram.bin_index``),
+then the factored one-hot contraction built entirely in VMEM:
+
+- joint mode (``decorrelated=False``): H = onehot(α)ᵀ · onehot(φ·n+θ) per
+  query, the (n_bins, n_bins²) block flattened to n_bins³ — same A·Bᵀ
+  lanes-contraction the SHOT kernel uses.
+- decorrelated mode: three (n_bins,) masked row-sums, emitted as
+  (3, n_bins) and interleaved by the caller to the reference's
+  (bin0: α,φ,θ, bin1: ...) layout (reference fpfh.py:62-88).
+
+Inputs mirror the window convention: ``vals (C, F, W)`` feature-first rows
+``[x y z nx ny nz ...]`` and ``dist_inf (C, W)`` with +inf marking
+out-of-radius/invalid lanes.  The returned histograms are UNNORMALIZED —
+the caller keeps the /count epilogue (reference fpfh.py:88).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_shot import _atan2
+
+
+def _bin(x, lo, hi, n_bins):
+    """``ops.histogram.bin_index`` semantics on (QB, W) planes."""
+    width = (hi - lo) / n_bins
+    raw = jnp.floor((x - lo) * (1.0 / width)).astype(jnp.int32)
+    idx = jnp.clip(raw, 0, n_bins - 1)
+    in_range = (x >= lo) & (x <= hi)
+    return idx, in_range
+
+
+def _darboux(vals_ref, dist_ref, params_ref):
+    """Shared per-neighbor stage: (α, φ, θ, valid_f, ok_f) on (QB, W)."""
+    d = dist_ref[:]
+    finite = d < jnp.float32(3.0e38)
+    rho = jnp.where(finite, d, 0.0)
+    okf = finite.astype(jnp.float32)
+    valid = finite & (rho > 0)
+
+    p = params_ref  # (QB, 8): [qx qy qz | unx uny unz | pad pad]
+    dx = vals_ref[:, 0, :] - p[:, 0:1]
+    dy = vals_ref[:, 1, :] - p[:, 1:2]
+    dz = vals_ref[:, 2, :] - p[:, 2:3]
+    ux, uy, uz = p[:, 3:4], p[:, 4:5], p[:, 5:6]
+    # v = diff x u (unnormalized, reference fpfh.py:50-56), w = u x v
+    vx = dy * uz - dz * uy
+    vy = dz * ux - dx * uz
+    vz = dx * uy - dy * ux
+    wx = uy * vz - uz * vy
+    wy = uz * vx - ux * vz
+    wz = ux * vy - uy * vx
+    nx = vals_ref[:, 3, :]
+    ny = vals_ref[:, 4, :]
+    nz = vals_ref[:, 5, :]
+    alpha = vx * nx + vy * ny + vz * nz
+    phi = (dx * ux + dy * uy + dz * uz) / jnp.where(valid, rho, 1.0)
+    theta = _atan2(nx * wx + ny * wy + nz * wz, nx * ux + ny * uy + nz * uz)
+    return alpha, phi, theta, valid.astype(jnp.float32), okf
+
+
+def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
+    alpha, phi, theta, vf, _ = _darboux(vals_ref, dist_ref, params_ref)
+    a_bin, a_in = _bin(alpha, -1.0, 1.0, n_bins)
+    p_bin, p_in = _bin(phi, -1.0, 1.0, n_bins)
+    t_bin, t_in = _bin(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
+    wgt = vf * (a_in & p_in & t_in).astype(jnp.float32)
+    lo_bin = p_bin * n_bins + t_bin
+
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_bins, w), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_bins * n_bins, w), 0)
+    dims = (((1,), (1,)), ((), ()))
+    for qi in range(qb):
+        # hard 0/1 bins and weights: bf16 operands are exact on the MXU
+        a = (a_bin[qi:qi + 1, :] == iota_hi).astype(jnp.bfloat16)
+        b = ((lo_bin[qi:qi + 1, :] == iota_lo).astype(jnp.float32)
+             * wgt[qi:qi + 1, :]).astype(jnp.bfloat16)
+        out_ref[qi] = jax.lax.dot_general(
+            a, b, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+
+def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
+    alpha, phi, theta, vf, _ = _darboux(vals_ref, dist_ref, params_ref)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_bins, w), 0)
+    for qi in range(qb):
+        rows = []
+        for x, lo, hi in ((alpha, -1.0, 1.0), (phi, -1.0, 1.0),
+                          (theta, -jnp.pi / 2, jnp.pi / 2)):
+            b, in_r = _bin(x[qi:qi + 1, :], lo, hi, n_bins)
+            wgt = vf[qi:qi + 1, :] * in_r.astype(jnp.float32)
+            rows.append(jnp.sum((b == iota).astype(jnp.float32) * wgt,
+                                axis=1))
+        out_ref[qi] = jnp.stack(rows, axis=0)  # (3, n_bins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "decorrelated", "qb",
+                                    "interpret"))
+def spfh_histogram(
+    vals: jnp.ndarray,      # (C, F>=6, W) feature-first window
+    dist_inf: jnp.ndarray,  # (C, W), +inf marks out-of-radius/invalid lanes
+    queries: jnp.ndarray,   # (C, 3) query points
+    query_normals: jnp.ndarray,  # (C, 3)
+    n_bins: int,
+    decorrelated: bool,
+    qb: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Unnormalized SPFH histograms from a dense candidate window.
+
+    Returns (C, 3·n_bins) in the reference's interleaved decorrelated layout,
+    or (C, n_bins³) joint.  Drop-in for the binning+histogram core of
+    ``models.fpfh._spfh_window_block`` (the caller keeps the /count
+    epilogue).
+    """
+    c, f, w = vals.shape
+    params = jnp.concatenate(
+        [queries.astype(jnp.float32), query_normals.astype(jnp.float32)],
+        axis=1,
+    )
+    params = jnp.pad(params, ((0, 0), (0, 2)))
+    pad_c = (-c) % qb
+    if pad_c:
+        vals = jnp.pad(vals, ((0, pad_c), (0, 0), (0, 0)))
+        dist_inf = jnp.pad(dist_inf, ((0, pad_c), (0, 0)),
+                           constant_values=jnp.inf)
+        params = jnp.pad(params, ((0, pad_c), (0, 0)))
+    cp = c + pad_c
+
+    if decorrelated:
+        kern = functools.partial(_decorr_kernel, qb, w, n_bins)
+        out_shape = jax.ShapeDtypeStruct((cp, 3, n_bins), jnp.float32)
+        out_spec = pl.BlockSpec((qb, 3, n_bins), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        kern = functools.partial(_joint_kernel, qb, w, n_bins)
+        out_shape = jax.ShapeDtypeStruct((cp, n_bins, n_bins * n_bins),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((qb, n_bins, n_bins * n_bins),
+                                lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(cp // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, f, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_spec,
+        interpret=interpret,
+    )(vals.astype(jnp.float32), dist_inf.astype(jnp.float32), params)
+
+    if decorrelated:
+        # (C, 3, n_bins) -> reference interleave (bin0: α,φ,θ, bin1: ...)
+        return jnp.swapaxes(out[:c], 1, 2).reshape(c, 3 * n_bins)
+    return out.reshape(cp, n_bins ** 3)[:c]
