@@ -299,10 +299,13 @@ def _use_fused_kernel() -> bool:
     """Route the window path through the fused Pallas binning+histogram
     kernel: TPU only (CPU/virtual-mesh runs keep the XLA path — same math),
     and only when the debug sanity checks are off (they live in the XLA
-    binning)."""
+    binning).  ``SHOT_FPFH_FUSED=1/0`` overrides the default."""
+    import os
+
     from ..ops.pallas_radius import _on_tpu
 
-    return _on_tpu() and not _DEBUG["enabled"]
+    flag = os.environ.get("SHOT_FPFH_FUSED", "0")
+    return flag != "0" and _on_tpu() and not _DEBUG["enabled"]
 
 
 def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
