@@ -439,25 +439,33 @@ def shot_from_window_ff(
     centered = jnp.where(ok[:, None, :], pts - keypoints[:, :, None], 0.0)
     rho = jnp.where(ok, window_dist, 0.0)
 
-    if local_rfs is not None:
-        rfs = local_rfs
-    else:
-        rfs = _local_rfs_ff(centered, rho, ok, radius)
-
     if _use_fused_kernel():
-        # one Pallas program: binning + factored one-hot contraction with the
-        # one-hots built in VMEM — no HBM streaming of the (Q, W, 11/32)
-        # operands and no binning-intermediate round trips (docs/ROOFLINE.md)
+        # one Pallas program: local RFs (when not shared across scales) +
+        # binning + factored one-hot contraction with the one-hots built in
+        # VMEM — the window is read from HBM once and neither the (Q, W,
+        # 11/32) one-hot operands nor the binning intermediates ever stream
+        # through HBM (docs/ROOFLINE.md)
         from ..ops.pallas_shot_fused import shot_binning_histogram
 
-        hist = shot_binning_histogram(
-            window_vals, window_dist, keypoints, rfs, radius
-        )
+        if local_rfs is not None:
+            rfs = local_rfs
+            hist = shot_binning_histogram(
+                window_vals, window_dist, keypoints, rfs, radius
+            )
+        else:
+            hist, rfs = shot_binning_histogram(
+                window_vals, window_dist, keypoints, None, radius
+            )
         count = jnp.sum(ok & (window_dist > 0), axis=-1)
         return (
             _shot_finalize(hist, count, normalize, min_neighborhood_size),
             rfs,
         )
+
+    if local_rfs is not None:
+        rfs = local_rfs
+    else:
+        rfs = _local_rfs_ff(centered, rho, ok, radius)
 
     local = jnp.einsum("qiw,qij->qjw", centered, rfs)
     lx, ly, lz = local[:, 0, :], local[:, 1, :], local[:, 2, :]

@@ -1,28 +1,34 @@
-"""Fused SHOT binning + histogram as one Pallas kernel.
+"""Fused SHOT local-RF + binning + histogram as one Pallas kernel.
 
 The production SHOT window path (``models.shot.shot_from_window_ff``) runs, in
-XLA: local-coordinate transform -> per-neighbor soft-bin indices/weights ->
+XLA: local-RF estimation (weighted covariance + eigh + sign votes) ->
+local-coordinate transform -> per-neighbor soft-bin indices/weights ->
 factored one-hot contraction.  XLA cannot fuse the one-hot construction into
 the dot, so the (Q, W, 11) and (Q, W, 32) one-hot operands stream through HBM
 (~541 MB per 4096-descriptor rep — the measured HBM-peak leg of the round-3
-roofline, docs/ROOFLINE.md), and the dozen (Q, W) binning intermediates add
-fusion-boundary round trips on top.
+roofline, docs/ROOFLINE.md), the dozen (Q, W) binning intermediates add
+fusion-boundary round trips on top, and the LRF stage re-reads the window.
 
 This kernel fuses the whole thing: inputs are the raw feature-first window
 (``vals (Q, F, W)`` with rows ``[x y z nx ny nz ...]``), the window distances,
-and per-query [keypoint | local RF] parameters.  Per grid step it
+and per-query parameters.  Per grid step it
 
-  1. computes every per-neighbor quantity (local coords, angles, the four
+  1. (optionally) computes the local reference frames in-kernel — the same
+     (radius−d)-weighted covariance + cyclic-Jacobi eigh + majority sign
+     votes as ``models.shot._local_rfs_ff`` / ``ops.eigh3.eigh3x3``, with the
+     Jacobi rotations in trig-free half-angle form (Mosaic has no native
+     sin/cos) — so the window is read from HBM exactly once;
+  2. computes every per-neighbor quantity (local coords, angles, the four
      quadrilinear interpolations — exact reference bin conventions,
      /root/reference/shot_fpfh/descriptors/shot.py:51-306) batched on
      (QB, W) shapes, full VPU sublane utilization;
-  2. builds the factored one-hot operands per query IN VMEM (never touching
+  3. builds the factored one-hot operands per query IN VMEM (never touching
      HBM) and contracts them on the MXU with k = W lane-contraction dots —
      the same 2-group algebra as ``models.shot._shot_accumulate``:
      H = onehot(cos_bin)^T B1 + onehot(cos_nb)^T B2.
 
 HBM traffic per rep drops from ~700 MB (one-hots + intermediates) to the
-~110 MB window re-read.  Angle difference vs the XLA path: phi/theta come
+~110 MB window read.  Angle difference vs the XLA path: phi/theta come
 from the Mosaic ``_atan2`` polynomial (max err ~1e-6 rad) instead of
 arccos/atan2 — far inside the descriptor oracle tolerance.
 
@@ -30,8 +36,10 @@ Layout notes (why this shape): per-neighbor planes live lanes-major (W in
 lanes), so BOTH one-hot operands are built as (bins, W) broadcast-compares —
 no transposes anywhere — and contract with
 ``dot_general(..., (((1,), (1,)), ((), ())))`` (A B^T orientation), the form
-``pallas_shot._hist_kernel`` already proved out on Mosaic.  Booleans cast to
-int32/f32 immediately (Mosaic cannot lower select/xor on i1 vectors).
+``pallas_shot._hist_kernel`` already proved out on Mosaic.  The LRF runs on
+(QB, 1) scalar planes (the ``ops.eigh3`` plane decomposition, which replaced
+batched 3x3 matmuls for a 30x win there).  Booleans cast to int32/f32
+immediately (Mosaic cannot lower select/xor on i1 vectors).
 """
 
 from __future__ import annotations
@@ -49,7 +57,108 @@ N_COS, N_AZ, N_ELEV, N_RAD = 11, 8, 2, 2
 N_LO = N_AZ * N_ELEV * N_RAD  # 32
 
 
-def _fused_kernel(qb, w, radius_ref, vals_ref, dist_ref, params_ref, out_ref):
+def _lrf_planes(cx, cy, cz, okf, rho, r):
+    """In-kernel local reference frames on (QB, 1) scalar planes.
+
+    Same math as ``models.shot._local_rfs_ff``: (r−d)-weighted covariance,
+    4-sweep cyclic Jacobi (``ops.eigh3.eigh3x3`` conventions, trig-free
+    rotations), majority sign votes on the x/z axes, y = z × x, identity for
+    empty neighborhoods.  Returns three [e0, e1, e2] axis-component lists.
+    """
+    wgt = jnp.maximum(r - rho, 0.0) * okf  # (QB, W)
+    inv = 1.0 / jnp.maximum(jnp.sum(wgt, axis=1, keepdims=True), 1e-12)
+    prods = {(0, 0): cx * cx, (0, 1): cx * cy, (0, 2): cx * cz,
+             (1, 1): cy * cy, (1, 2): cy * cz, (2, 2): cz * cz}
+    a = {k: jnp.sum(wgt * v_, axis=1, keepdims=True) * inv
+         for k, v_ in prods.items()}
+
+    # unit-magnitude scaling for f32 headroom (ops/eigh3.py:73)
+    scale = jnp.abs(a[(0, 0)])
+    for k in a:
+        scale = jnp.maximum(scale, jnp.abs(a[k]))
+    scale = jnp.maximum(scale, 1e-30)
+    a = {k: v_ / scale for k, v_ in a.items()}
+
+    one = jnp.ones_like(scale)
+    zero = jnp.zeros_like(scale)
+    v = {(i, j): (one if i == j else zero)
+         for i in range(3) for j in range(3)}
+    key = lambda i, j: (i, j) if i <= j else (j, i)  # noqa: E731
+
+    def rotate(a, v, pp, qq):
+        # trig-free Jacobi rotation zeroing A[pp, qq]: with
+        # θ = ½·atan2(2·apq, aqq−app) (the eigh3x3 convention), cos θ and
+        # sin θ follow from half-angle identities on cos 2θ = α/h — no
+        # sin/cos, which Mosaic does not lower
+        rr = ({0, 1, 2} - {pp, qq}).pop()
+        app, aqq, apq = a[key(pp, pp)], a[key(qq, qq)], a[key(pp, qq)]
+        apr, aqr = a[key(pp, rr)], a[key(qq, rr)]
+        alpha = aqq - app
+        beta = 2.0 * apq
+        h = jnp.sqrt(alpha * alpha + beta * beta)
+        ratio = jnp.where(h > 1e-30, alpha / jnp.maximum(h, 1e-30), 1.0)
+        c = jnp.sqrt(jnp.maximum((1.0 + ratio) * 0.5, 0.0))
+        s = jnp.sqrt(jnp.maximum((1.0 - ratio) * 0.5, 0.0)) * jnp.where(
+            beta >= 0.0, 1.0, -1.0
+        )
+        c2, s2, cs = c * c, s * s, c * s
+        out = dict(a)
+        out[key(pp, pp)] = c2 * app - 2.0 * cs * apq + s2 * aqq
+        out[key(qq, qq)] = s2 * app + 2.0 * cs * apq + c2 * aqq
+        out[key(pp, qq)] = cs * (app - aqq) + (c2 - s2) * apq
+        out[key(pp, rr)] = c * apr - s * aqr
+        out[key(qq, rr)] = s * apr + c * aqr
+        vout = dict(v)
+        for row in range(3):
+            vp, vq = v[(row, pp)], v[(row, qq)]
+            vout[(row, pp)] = c * vp - s * vq
+            vout[(row, qq)] = s * vp + c * vq
+        return out, vout
+
+    for _ in range(4):  # _N_SWEEPS, unrolled (12 rotations on scalar planes)
+        a, v = rotate(a, v, 0, 1)
+        a, v = rotate(a, v, 0, 2)
+        a, v = rotate(a, v, 1, 2)
+
+    evals = [a[(0, 0)], a[(1, 1)], a[(2, 2)]]
+    cols = [[v[(r_, c_)] for r_ in range(3)] for c_ in range(3)]
+
+    def cswap(i, j):  # ascending sort network: (0,1), (1,2), (0,1)
+        swap = evals[i] > evals[j]
+        evals[i], evals[j] = (jnp.where(swap, evals[j], evals[i]),
+                              jnp.where(swap, evals[i], evals[j]))
+        ci = [jnp.where(swap, b_, a_) for a_, b_ in zip(cols[i], cols[j])]
+        cj = [jnp.where(swap, a_, b_) for a_, b_ in zip(cols[i], cols[j])]
+        cols[i], cols[j] = ci, cj
+
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+    x_axis, z_axis = cols[2], cols[0]  # largest / smallest eigenvalue
+
+    def vote_flip(axis):
+        proj = cx * axis[0] + cy * axis[1] + cz * axis[2]
+        neg = jnp.sum(okf * (proj < 0.0), axis=1, keepdims=True)
+        nonneg = jnp.sum(okf * (proj >= 0.0), axis=1, keepdims=True)
+        flip = jnp.where(neg > nonneg, -1.0, 1.0)
+        return [e * flip for e in axis]
+
+    x_axis = vote_flip(x_axis)
+    z_axis = vote_flip(z_axis)
+    y_axis = [z_axis[1] * x_axis[2] - z_axis[2] * x_axis[1],
+              z_axis[2] * x_axis[0] - z_axis[0] * x_axis[2],
+              z_axis[0] * x_axis[1] - z_axis[1] * x_axis[0]]
+
+    empty = jnp.sum(okf, axis=1, keepdims=True) == 0.0
+    for axis, ident in ((x_axis, (1.0, 0.0, 0.0)), (y_axis, (0.0, 1.0, 0.0)),
+                        (z_axis, (0.0, 0.0, 1.0))):
+        for i in range(3):
+            axis[i] = jnp.where(empty, ident[i], axis[i])
+    return x_axis, y_axis, z_axis
+
+
+def _fused_kernel(qb, w, compute_rfs, radius_ref, vals_ref, dist_ref,
+                  params_ref, out_ref, *rfs_out):
     r = radius_ref[0, 0]
     half_pi = jnp.float32(jnp.pi / 2.0)
     az_size = jnp.float32(2.0 * jnp.pi / N_AZ)
@@ -57,6 +166,7 @@ def _fused_kernel(qb, w, radius_ref, vals_ref, dist_ref, params_ref, out_ref):
     d = dist_ref[:]  # (QB, W)
     finite = d < jnp.float32(3.0e38)
     rho = jnp.where(finite, d, 0.0)
+    okf = finite.astype(jnp.float32)
     vf = (finite & (rho > 0)).astype(jnp.float32)
 
     p = params_ref  # (QB, 16): [qx qy qz | rf row-major 9 | pad]
@@ -67,12 +177,30 @@ def _fused_kernel(qb, w, radius_ref, vals_ref, dist_ref, params_ref, out_ref):
     ny = vals_ref[:, 4, :]
     nz = vals_ref[:, 5, :]
 
-    # local = centered @ rf (rf columns are the x/y/z axes; rf[i,j] at 3+i*3+j)
-    lx = cx * p[:, 3:4] + cy * p[:, 6:7] + cz * p[:, 9:10]
-    ly = cx * p[:, 4:5] + cy * p[:, 7:8] + cz * p[:, 10:11]
-    lz = cx * p[:, 5:6] + cy * p[:, 8:9] + cz * p[:, 11:12]
+    if compute_rfs:
+        # centered offsets must be masked for the covariance/votes: invalid
+        # lanes hold padding rows (weights zero them in cov; votes mask okf)
+        cxm = cx * okf
+        cym = cy * okf
+        czm = cz * okf
+        x_ax, y_ax, z_ax = _lrf_planes(cxm, cym, czm, okf, rho, r)
+        rfs_ref = rfs_out[0]
+        # rf row-major [x0 y0 z0 x1 y1 z1 x2 y2 z2] (columns are the axes)
+        for j, axis in enumerate((x_ax, y_ax, z_ax)):
+            for i in range(3):
+                rfs_ref[:, i * 3 + j:i * 3 + j + 1] = axis[i]
+        rfs_ref[:, 9:] = jnp.zeros((qb, 7), jnp.float32)
+    else:
+        x_ax = [p[:, 3:4], p[:, 6:7], p[:, 9:10]]
+        y_ax = [p[:, 4:5], p[:, 7:8], p[:, 10:11]]
+        z_ax = [p[:, 5:6], p[:, 8:9], p[:, 11:12]]
+
+    # local = centered @ rf (rf columns are the x/y/z axes)
+    lx = cx * x_ax[0] + cy * x_ax[1] + cz * x_ax[2]
+    ly = cx * y_ax[0] + cy * y_ax[1] + cz * y_ax[2]
+    lz = cx * z_ax[0] + cy * z_ax[1] + cz * z_ax[2]
     cosine = jnp.clip(
-        nx * p[:, 5:6] + ny * p[:, 8:9] + nz * p[:, 11:12], -1.0, 1.0
+        nx * z_ax[0] + ny * z_ax[1] + nz * z_ax[2], -1.0, 1.0
     )
 
     theta = _atan2(ly, lx)
@@ -166,22 +294,30 @@ def shot_binning_histogram(
     vals: jnp.ndarray,      # (Q, F>=6, W) feature-first window
     dist_inf: jnp.ndarray,  # (Q, W), +inf marks out-of-radius/invalid lanes
     keypoints: jnp.ndarray, # (Q, 3)
-    rfs: jnp.ndarray,       # (Q, 3, 3) local reference frames (columns x/y/z)
+    rfs,                    # (Q, 3, 3) local RFs (columns x/y/z), or None
     radius,
     qb: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Unnormalized (Q, 352) SHOT histograms from a dense candidate window.
 
-    Drop-in for the binning+histogram core of ``shot_from_window_ff`` (the
-    caller keeps the count/norm/min-neighborhood epilogue).
+    Drop-in for the local-RF + binning + histogram core of
+    ``shot_from_window_ff`` (the caller keeps the count/norm/min-neighborhood
+    epilogue).  With ``rfs=None`` the local reference frames are computed
+    inside the kernel (one HBM read of the window for the whole stage) and
+    returned: ``(hist (Q, 352), rfs (Q, 3, 3))``.  With ``rfs`` given (e.g.
+    multiscale shared frames), only the histograms are returned.
     """
     q, f, w = vals.shape
-    params = jnp.concatenate(
-        [keypoints.astype(jnp.float32), rfs.astype(jnp.float32).reshape(q, 9)],
-        axis=1,
-    )
-    params = jnp.pad(params, ((0, 0), (0, 4)))
+    compute_rfs = rfs is None
+    params = keypoints.astype(jnp.float32)
+    if compute_rfs:
+        params = jnp.pad(params, ((0, 0), (0, 13)))
+    else:
+        params = jnp.concatenate(
+            [params, rfs.astype(jnp.float32).reshape(q, 9)], axis=1
+        )
+        params = jnp.pad(params, ((0, 0), (0, 4)))
     pad_q = (-q) % qb
     if pad_q:
         vals = jnp.pad(vals, ((0, pad_q), (0, 0), (0, 0)))
@@ -191,8 +327,16 @@ def shot_binning_histogram(
     qp = q + pad_q
     radius_arr = jnp.asarray(radius, jnp.float32).reshape(1, 1)
 
+    out_shapes = [jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32)]
+    out_specs = [pl.BlockSpec((qb, N_COS, N_LO), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if compute_rfs:
+        out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32))
+        out_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, qb, w),
+        functools.partial(_fused_kernel, qb, w, compute_rfs),
         grid=(qp // qb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -201,10 +345,12 @@ def shot_binning_histogram(
             pl.BlockSpec((qb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32),
-        out_specs=pl.BlockSpec((qb, N_COS, N_LO), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=out_shapes,
+        out_specs=out_specs,
         interpret=interpret,
     )(radius_arr, vals.astype(jnp.float32), dist_inf.astype(jnp.float32),
       params)
-    return out.reshape(qp, N_COS * N_LO)[:q]
+    hist = out[0].reshape(qp, N_COS * N_LO)[:q]
+    if compute_rfs:
+        return hist, out[1][:q, :9].reshape(q, 3, 3)
+    return hist

@@ -30,14 +30,15 @@ def _window_case(rng, q=12, w=160, radius=0.8, drop=0.1):
     return kp, vals_ff, dist_inf
 
 
-def _xla_histogram(kp, vals_ff, dist_inf, radius):
+def _xla_histogram(kp, vals_ff, dist_inf, radius, rfs=None):
     """Unnormalized histograms through the XLA path's exact code."""
     ok = jnp.isfinite(dist_inf)
     pts = jnp.asarray(vals_ff[:, :3, :])
     nrms = jnp.where(ok[:, None, :], jnp.asarray(vals_ff[:, 3:6, :]), 0.0)
     centered = jnp.where(ok[:, None, :], pts - kp[:, :, None], 0.0)
     rho = jnp.where(ok, dist_inf, 0.0)
-    rfs = ms._local_rfs_ff(centered, rho, ok, radius)
+    if rfs is None:
+        rfs = ms._local_rfs_ff(centered, rho, ok, radius)
     local = jnp.einsum("qiw,qij->qjw", centered, rfs)
     cosine = jnp.clip(jnp.einsum("qiw,qi->qw", nrms, rfs[..., :, 2]), -1, 1)
     valid = ok & (rho > 0)
@@ -72,6 +73,39 @@ def test_fused_kernel_query_padding(rng):
     )
     assert got.shape == (11, 352)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_kernel_in_kernel_rfs(rng):
+    # rfs=None: the kernel computes the local reference frames itself
+    # (trig-free Jacobi).  Frames must match the XLA _local_rfs_ff to f32
+    # Jacobi fidelity; the histograms must match the XLA binning GIVEN the
+    # kernel's frames (frame differences of ~1e-4 legitimately flip
+    # hard-binned neighbors sitting on bin edges, so comparing histograms
+    # across different frames is chaotic by construction).
+    kp, vals_ff, dist_inf = _window_case(rng)
+    radius = 0.8
+    _, ref_rfs = _xla_histogram(kp, vals_ff, dist_inf, radius)
+    got_hist, got_rfs = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), None,
+        radius, interpret=True,
+    )
+    assert got_rfs.shape == (12, 3, 3)
+    np.testing.assert_allclose(np.asarray(got_rfs), np.asarray(ref_rfs),
+                               atol=2e-4)
+    ref_hist, _ = _xla_histogram(kp, vals_ff, dist_inf, radius, rfs=got_rfs)
+    np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
+                               atol=5e-3)
+
+
+def test_fused_kernel_in_kernel_rfs_empty(rng):
+    # empty neighborhood -> identity frame (the _local_rfs_ff convention)
+    kp, vals_ff, dist_inf = _window_case(rng, q=8, w=96)
+    dist_inf[5] = np.inf
+    _, rfs = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), None,
+        0.8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rfs)[5], np.eye(3), atol=0)
 
 
 def test_fused_kernel_empty_neighborhoods(rng):
