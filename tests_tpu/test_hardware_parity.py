@@ -76,3 +76,72 @@ def test_pallas_shot_matches_xla_on_tpu():
     np.testing.assert_allclose(
         np.asarray(desc_p), np.asarray(desc_x), atol=2e-3
     )
+
+
+def _window_case(seed=3, q=64, w=256, radius=0.8):
+    rng = np.random.default_rng(seed)
+    kp = rng.normal(size=(q, 3)).astype(np.float32)
+    pts = kp[:, None, :] + rng.normal(scale=0.4, size=(q, w, 3)).astype(np.float32)
+    nrm = rng.normal(size=(q, w, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    vals_ff = np.moveaxis(
+        np.concatenate([pts, nrm, np.zeros((q, w, 2))], axis=-1), 1, 2
+    ).astype(np.float32)
+    d = np.linalg.norm(pts - kp[:, None, :], axis=-1)
+    keep = (d <= radius) & (rng.uniform(size=(q, w)) > 0.1)
+    dist_inf = np.where(keep, d, np.inf).astype(np.float32)
+    return kp, vals_ff, dist_inf
+
+
+def test_fused_shot_kernel_matches_xla_on_tpu():
+    from shot_fpfh_tpu.models import shot as ms
+    from shot_fpfh_tpu.ops.pallas_shot_fused import shot_binning_histogram
+
+    kp, vals_ff, dist_inf = _window_case()
+    radius = 0.8
+    ok = jnp.isfinite(jnp.asarray(dist_inf))
+    centered = jnp.where(ok[:, None, :],
+                         jnp.asarray(vals_ff[:, :3, :]) - kp[:, :, None], 0.0)
+    rho = jnp.where(ok, jnp.asarray(dist_inf), 0.0)
+    rfs = ms._local_rfs_ff(centered, rho, ok, radius)
+    # rfs-given: histogram parity vs the XLA accumulation
+    local = jnp.einsum("qiw,qij->qjw", centered, rfs)
+    nrms = jnp.where(ok[:, None, :], jnp.asarray(vals_ff[:, 3:6, :]), 0.0)
+    cosine = jnp.clip(jnp.einsum("qiw,qi->qw", nrms, rfs[..., :, 2]), -1, 1)
+    ref = ms._shot_accumulate(local[:, 0], local[:, 1], local[:, 2], rho,
+                              cosine, ok & (rho > 0), radius, False, -1)
+    got = shot_binning_histogram(jnp.asarray(vals_ff), jnp.asarray(dist_inf),
+                                 jnp.asarray(kp), rfs, radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    # in-kernel LRF: frame parity vs the XLA eigh path
+    got2, rfs_k = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), None,
+        radius,
+    )
+    np.testing.assert_allclose(np.asarray(rfs_k), np.asarray(rfs), atol=5e-4)
+    assert np.abs(np.asarray(got2)).sum() > 0
+
+
+def test_fused_spfh_kernel_matches_xla_on_tpu():
+    from shot_fpfh_tpu.models.fpfh import _spfh_from_values
+    from shot_fpfh_tpu.ops.pallas_fpfh_fused import spfh_histogram
+
+    kp, vals_ff, dist_inf = _window_case(seed=4, q=48, w=128)
+    rng = np.random.default_rng(5)
+    qn = rng.normal(size=(48, 3))
+    qn = (qn / np.linalg.norm(qn, axis=-1, keepdims=True)).astype(np.float32)
+    ok = np.isfinite(dist_inf)
+    p_j = np.moveaxis(vals_ff[:, :3, :], 1, 2)
+    n_j = np.moveaxis(vals_ff[:, 3:6, :], 1, 2)
+    d = np.where(ok, dist_inf, 0.0).astype(np.float32)
+    count = np.maximum(ok.sum(axis=-1), 1).astype(np.float32)
+    for decorrelated in (False, True):
+        ref = np.asarray(_spfh_from_values(
+            jnp.asarray(kp), jnp.asarray(qn), jnp.asarray(p_j),
+            jnp.asarray(n_j), jnp.asarray(d), jnp.asarray(ok), 0.8, 5,
+            decorrelated,
+        )) * count[:, None]
+        got = spfh_histogram(jnp.asarray(vals_ff), jnp.asarray(dist_inf),
+                             jnp.asarray(kp), jnp.asarray(qn), 5,
+                             decorrelated)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
