@@ -31,14 +31,11 @@ from ..ops.grid_hash import radius_search_with_values_auto
 
 
 def _use_fused_spfh() -> bool:
-    """Route the window SPFH through the fused Pallas kernel: TPU only
-    (CPU/virtual-mesh runs keep the XLA path — same math).
-    ``SHOT_FPFH_FUSED=1/0`` overrides the default."""
-    import os
+    """Route the window SPFH through the fused Pallas kernel
+    (``ops.pallas_radius.fused_kernels_enabled`` policy)."""
+    from ..ops.pallas_radius import fused_kernels_enabled
 
-    from ..ops.pallas_radius import _on_tpu
-
-    return os.environ.get("SHOT_FPFH_FUSED", "0") != "0" and _on_tpu()
+    return fused_kernels_enabled()
 
 
 def compute_spfh(

@@ -296,16 +296,12 @@ def _shot_finalize(desc, count, normalize, min_neighborhood_size):
 
 
 def _use_fused_kernel() -> bool:
-    """Route the window path through the fused Pallas binning+histogram
-    kernel: TPU only (CPU/virtual-mesh runs keep the XLA path — same math),
-    and only when the debug sanity checks are off (they live in the XLA
-    binning).  ``SHOT_FPFH_FUSED=1/0`` overrides the default."""
-    import os
+    """Route the window path through the fused Pallas LRF+binning+histogram
+    kernel (``ops.pallas_radius.fused_kernels_enabled`` policy), except when
+    the debug sanity checks are on — they live in the XLA binning."""
+    from ..ops.pallas_radius import fused_kernels_enabled
 
-    from ..ops.pallas_radius import _on_tpu
-
-    flag = os.environ.get("SHOT_FPFH_FUSED", "0")
-    return flag != "0" and _on_tpu() and not _DEBUG["enabled"]
+    return fused_kernels_enabled() and not _DEBUG["enabled"]
 
 
 def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
@@ -421,6 +417,8 @@ def shot_from_window_ff(
     normalize: bool = True,
     min_neighborhood_size: int = 100,
     local_rfs=None,
+    rf_dist_inf=None,
+    rf_radius=None,
 ):
     """SHOT from a dense FEATURE-FIRST candidate window — the consumer of
     ``ops.pallas_radius.fetch_windows_pallas(..., feature_first=True)``.
@@ -431,7 +429,12 @@ def shot_from_window_ff(
     between the kernel and the einsums (the transpose alone made the dense
     window path HBM-bound), and every interpolation stays a (Q, W) VPU op.
     No k cap — the EXACT uncapped radius neighborhood contributes, like the
-    reference's (descriptors/shot.py:175-306)."""
+    reference's (descriptors/shot.py:175-306).
+
+    Bi-scale (reference shot_parallelization.py:185-239): pass
+    ``rf_dist_inf``/``rf_radius`` to compute the local frames from a
+    DIFFERENT validity plane over the same window (mutually exclusive with
+    ``local_rfs``)."""
     ok = jnp.isfinite(window_dist)
     okf = ok.astype(jnp.float32)
     pts = window_vals[:, :3, :]
@@ -454,7 +457,8 @@ def shot_from_window_ff(
             )
         else:
             hist, rfs = shot_binning_histogram(
-                window_vals, window_dist, keypoints, None, radius
+                window_vals, window_dist, keypoints, None, radius,
+                rf_dist_inf=rf_dist_inf, rf_radius=rf_radius,
             )
         count = jnp.sum(ok & (window_dist > 0), axis=-1)
         return (
@@ -464,6 +468,12 @@ def shot_from_window_ff(
 
     if local_rfs is not None:
         rfs = local_rfs
+    elif rf_dist_inf is not None:
+        ok_rf = jnp.isfinite(rf_dist_inf)
+        centered_rf = jnp.where(ok_rf[:, None, :],
+                                pts - keypoints[:, :, None], 0.0)
+        rfs = _local_rfs_ff(centered_rf, jnp.where(ok_rf, rf_dist_inf, 0.0),
+                            ok_rf, rf_radius)
     else:
         rfs = _local_rfs_ff(centered, rho, ok, radius)
 
@@ -522,21 +532,17 @@ def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
         qc = chunk_args[0]
         vals, d, valid, _rows = window_distances(grid, qc)  # (C, F, W)
         rfs_in = chunk_args[1] if has_rfs else None
+        rf_dist_inf = None
         if rfs_in is None and rf_radius is not None:
             # bi-scale: frames from the rf_radius neighborhood of the SAME
             # window (the grid covers max(radius, rf_radius))
-            ok_rf = valid & (d <= rf_radius)
-            centered = jnp.where(
-                ok_rf[:, None, :], vals[:, :3, :] - qc[:, :, None], 0.0
-            )
-            rfs_in = _local_rfs_ff(
-                centered, jnp.where(ok_rf, d, 0.0), ok_rf, rf_radius
-            )
+            rf_dist_inf = jnp.where(valid & (d <= rf_radius), d, jnp.inf)
         dist_inf = jnp.where(valid & (d <= radius), d, jnp.inf)
         return shot_from_window_ff(
             qc, vals, dist_inf, radius,
             normalize=normalize, min_neighborhood_size=min_neighborhood_size,
-            local_rfs=rfs_in,
+            local_rfs=rfs_in, rf_dist_inf=rf_dist_inf,
+            rf_radius=rf_radius if rf_dist_inf is not None else None,
         )
 
     desc, rfs = jax.lax.map(one, args)

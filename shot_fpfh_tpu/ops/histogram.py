@@ -15,12 +15,14 @@ indices within one statement; ``np.add.at`` semantics (true accumulation, as in
 the SHOT/FPFH papers) is what both implementations produce.  This is a
 deliberate correction of reference behavior (documented deviation).
 
-Pallas note: a hand-written Mosaic kernel for the factored contraction was
-prototyped and measured *worse* than this XLA formulation — the one-hot minor
-dims (11/32 bins) pad to 128 lanes in VMEM (4-12x memory blowup, 44MB for a
-64x512 block), while XLA's fusion of compare->convert->dot_general already
-avoids materializing the one-hots in HBM.  Revisit only with a
-bin-dims-in-sublanes layout.
+Pallas note: an early Mosaic kernel for the factored contraction placed the
+bin dims in LANES and measured worse than this XLA formulation (the 11/32-bin
+minor dims pad to 128 lanes in VMEM — 4-12x memory blowup).  The revisit with
+a bins-in-SUBLANES, neighbors-in-lanes layout shipped as
+``ops/pallas_shot_fused.py`` / ``ops/pallas_fpfh_fused.py``: those kernels
+build the one-hots in VMEM and fuse the whole binning+contraction stage
+(gated by ``ops.pallas_radius.fused_kernels_enabled``).  This module remains
+the XLA path used on CPU/virtual meshes and under the debug checks.
 """
 
 from __future__ import annotations

@@ -37,16 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# bin_index is pure jnp and lowers on Mosaic as-is — reused verbatim so the
+# kernel's bin-edge rounding is bit-identical to the XLA path's
+from .histogram import bin_index as _bin
 from .pallas_shot import _atan2
-
-
-def _bin(x, lo, hi, n_bins):
-    """``ops.histogram.bin_index`` semantics on (QB, W) planes."""
-    width = (hi - lo) / n_bins
-    raw = jnp.floor((x - lo) * (1.0 / width)).astype(jnp.int32)
-    idx = jnp.clip(raw, 0, n_bins - 1)
-    in_range = (x >= lo) & (x <= hi)
-    return idx, in_range
 
 
 def _darboux(vals_ref, dist_ref, params_ref):
@@ -58,9 +52,12 @@ def _darboux(vals_ref, dist_ref, params_ref):
     valid = finite & (rho > 0)
 
     p = params_ref  # (QB, 8): [qx qy qz | unx uny unz | pad pad]
-    dx = vals_ref[:, 0, :] - p[:, 0:1]
-    dy = vals_ref[:, 1, :] - p[:, 1:2]
-    dz = vals_ref[:, 2, :] - p[:, 2:3]
+    # select (not multiply) the invalid lanes to zero so a non-finite value
+    # in a padding/out-of-radius lane cannot poison the histogram via NaN*0
+    # — the same robustness the XLA path gets from its where-masking
+    dx = jnp.where(finite, vals_ref[:, 0, :] - p[:, 0:1], 0.0)
+    dy = jnp.where(finite, vals_ref[:, 1, :] - p[:, 1:2], 0.0)
+    dz = jnp.where(finite, vals_ref[:, 2, :] - p[:, 2:3], 0.0)
     ux, uy, uz = p[:, 3:4], p[:, 4:5], p[:, 5:6]
     # v = diff x u (unnormalized, reference fpfh.py:50-56), w = u x v
     vx = dy * uz - dz * uy
@@ -69,9 +66,9 @@ def _darboux(vals_ref, dist_ref, params_ref):
     wx = uy * vz - uz * vy
     wy = uz * vx - ux * vz
     wz = ux * vy - uy * vx
-    nx = vals_ref[:, 3, :]
-    ny = vals_ref[:, 4, :]
-    nz = vals_ref[:, 5, :]
+    nx = jnp.where(finite, vals_ref[:, 3, :], 0.0)
+    ny = jnp.where(finite, vals_ref[:, 4, :], 0.0)
+    nz = jnp.where(finite, vals_ref[:, 5, :], 0.0)
     alpha = vx * nx + vy * ny + vz * nz
     phi = (dx * ux + dy * uy + dz * uz) / jnp.where(valid, rho, 1.0)
     theta = _atan2(nx * wx + ny * wy + nz * wz, nx * ux + ny * uy + nz * uz)

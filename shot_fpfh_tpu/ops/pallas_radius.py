@@ -54,6 +54,33 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+_FUSED = {"enabled": None}  # None: resolve from SHOT_FPFH_FUSED on first use
+
+
+def fused_kernels_enabled() -> bool:
+    """Whether the fused Pallas descriptor kernels (ops/pallas_shot_fused,
+    ops/pallas_fpfh_fused) replace the XLA window paths.  TPU only —
+    CPU/virtual-mesh runs always keep the XLA path (same math).  The process
+    default comes from ``SHOT_FPFH_FUSED`` (off unless set to a value other
+    than ``0``); use :func:`set_fused_kernels` to toggle at runtime — the
+    flag is read at TRACE time, so mutating the environment variable after
+    a program has compiled has no effect."""
+    if _FUSED["enabled"] is None:
+        import os
+
+        _FUSED["enabled"] = os.environ.get("SHOT_FPFH_FUSED", "0") != "0"
+    return _FUSED["enabled"] and _on_tpu()
+
+
+def set_fused_kernels(enabled: bool) -> None:
+    """Toggle the fused descriptor kernels; drops compiled programs from the
+    jit cache so the toggle takes effect immediately (the flag is read at
+    trace time)."""
+    if _FUSED["enabled"] is not None and _FUSED["enabled"] != bool(enabled):
+        jax.clear_caches()
+    _FUSED["enabled"] = bool(enabled)
+
+
 @functools.partial(jax.jit, static_argnames=("n_feat",))
 def tile_table(packed: jnp.ndarray, n_feat: int = 8) -> jnp.ndarray:
     """Pack ``(N, F)`` rows into the ``(n_tiles, 8, TILE)`` DMA layout."""

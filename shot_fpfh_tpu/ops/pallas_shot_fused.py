@@ -157,8 +157,12 @@ def _lrf_planes(cx, cy, cz, okf, rho, r):
     return x_axis, y_axis, z_axis
 
 
-def _fused_kernel(qb, w, compute_rfs, radius_ref, vals_ref, dist_ref,
-                  params_ref, out_ref, *rfs_out):
+def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
+                  dist_ref, *refs):
+    if has_rf_dist:
+        rf_dist_ref, params_ref, out_ref, *rfs_out = refs
+    else:
+        params_ref, out_ref, *rfs_out = refs
     r = radius_ref[0, 0]
     half_pi = jnp.float32(jnp.pi / 2.0)
     az_size = jnp.float32(2.0 * jnp.pi / N_AZ)
@@ -166,24 +170,42 @@ def _fused_kernel(qb, w, compute_rfs, radius_ref, vals_ref, dist_ref,
     d = dist_ref[:]  # (QB, W)
     finite = d < jnp.float32(3.0e38)
     rho = jnp.where(finite, d, 0.0)
-    okf = finite.astype(jnp.float32)
     vf = (finite & (rho > 0)).astype(jnp.float32)
 
     p = params_ref  # (QB, 16): [qx qy qz | rf row-major 9 | pad]
-    cx = vals_ref[:, 0, :] - p[:, 0:1]
-    cy = vals_ref[:, 1, :] - p[:, 1:2]
-    cz = vals_ref[:, 2, :] - p[:, 2:3]
-    nx = vals_ref[:, 3, :]
-    ny = vals_ref[:, 4, :]
-    nz = vals_ref[:, 5, :]
+    # select (not multiply) the invalid lanes to zero so a non-finite value
+    # in a padding/out-of-radius lane cannot poison the histogram via NaN*0
+    # — the same robustness the XLA path gets from its where-masking
+    cxb = vals_ref[:, 0, :] - p[:, 0:1]
+    cyb = vals_ref[:, 1, :] - p[:, 1:2]
+    czb = vals_ref[:, 2, :] - p[:, 2:3]
+    cx = jnp.where(finite, cxb, 0.0)
+    cy = jnp.where(finite, cyb, 0.0)
+    cz = jnp.where(finite, czb, 0.0)
+    nx = jnp.where(finite, vals_ref[:, 3, :], 0.0)
+    ny = jnp.where(finite, vals_ref[:, 4, :], 0.0)
+    nz = jnp.where(finite, vals_ref[:, 5, :], 0.0)
 
     if compute_rfs:
-        # centered offsets must be masked for the covariance/votes: invalid
-        # lanes hold padding rows (weights zero them in cov; votes mask okf)
-        cxm = cx * okf
-        cym = cy * okf
-        czm = cz * okf
-        x_ax, y_ax, z_ax = _lrf_planes(cxm, cym, czm, okf, rho, r)
+        if has_rf_dist:
+            # bi-scale: frames come from the rf_radius neighborhood (a
+            # DIFFERENT validity plane over the same window — reference
+            # shot_parallelization.py:185-239), descriptor bins from dist_ref
+            r_rf = radius_ref[0, 1]
+            d2 = rf_dist_ref[:]
+            finite2 = d2 < jnp.float32(3.0e38)
+            rho2 = jnp.where(finite2, d2, 0.0)
+            cx2 = jnp.where(finite2, cxb, 0.0)
+            cy2 = jnp.where(finite2, cyb, 0.0)
+            cz2 = jnp.where(finite2, czb, 0.0)
+            x_ax, y_ax, z_ax = _lrf_planes(
+                cx2, cy2, cz2, finite2.astype(jnp.float32), rho2, r_rf
+            )
+        else:
+            # cx/cy/cz are already where-masked to zero on invalid lanes
+            x_ax, y_ax, z_ax = _lrf_planes(
+                cx, cy, cz, finite.astype(jnp.float32), rho, r
+            )
         rfs_ref = rfs_out[0]
         # rf row-major [x0 y0 z0 x1 y1 z1 x2 y2 z2] (columns are the axes)
         for j, axis in enumerate((x_ax, y_ax, z_ax)):
@@ -296,6 +318,8 @@ def shot_binning_histogram(
     keypoints: jnp.ndarray, # (Q, 3)
     rfs,                    # (Q, 3, 3) local RFs (columns x/y/z), or None
     radius,
+    rf_dist_inf=None,       # (Q, W) rf-radius validity plane (bi-scale)
+    rf_radius=None,
     qb: int = 8,
     interpret: bool = False,
 ):
@@ -305,11 +329,15 @@ def shot_binning_histogram(
     ``shot_from_window_ff`` (the caller keeps the count/norm/min-neighborhood
     epilogue).  With ``rfs=None`` the local reference frames are computed
     inside the kernel (one HBM read of the window for the whole stage) and
-    returned: ``(hist (Q, 352), rfs (Q, 3, 3))``.  With ``rfs`` given (e.g.
-    multiscale shared frames), only the histograms are returned.
+    returned: ``(hist (Q, 352), rfs (Q, 3, 3))`` — from the ``dist_inf``
+    neighborhood, or from the ``rf_dist_inf``/``rf_radius`` one when given
+    (the bi-scale convention: frames and bins use different radii over the
+    same window).  With ``rfs`` given (e.g. multiscale shared frames), only
+    the histograms are returned.
     """
     q, f, w = vals.shape
     compute_rfs = rfs is None
+    has_rf_dist = compute_rfs and rf_dist_inf is not None
     params = keypoints.astype(jnp.float32)
     if compute_rfs:
         params = jnp.pad(params, ((0, 0), (0, 13)))
@@ -324,8 +352,31 @@ def shot_binning_histogram(
         dist_inf = jnp.pad(dist_inf, ((0, pad_q), (0, 0)),
                            constant_values=jnp.inf)
         params = jnp.pad(params, ((0, pad_q), (0, 0)))
+        if has_rf_dist:
+            rf_dist_inf = jnp.pad(rf_dist_inf, ((0, pad_q), (0, 0)),
+                                  constant_values=jnp.inf)
     qp = q + pad_q
-    radius_arr = jnp.asarray(radius, jnp.float32).reshape(1, 1)
+    radius_arr = jnp.stack([
+        jnp.asarray(radius, jnp.float32),
+        jnp.asarray(radius if rf_radius is None else rf_radius, jnp.float32),
+    ]).reshape(1, 2)
+
+    dist_spec = pl.BlockSpec((qb, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((qb, f, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        dist_spec,
+    ]
+    args = [radius_arr, vals.astype(jnp.float32),
+            dist_inf.astype(jnp.float32)]
+    if has_rf_dist:
+        in_specs.append(dist_spec)
+        args.append(rf_dist_inf.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(params)
 
     out_shapes = [jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32)]
     out_specs = [pl.BlockSpec((qb, N_COS, N_LO), lambda i: (i, 0, 0),
@@ -336,20 +387,13 @@ def shot_binning_histogram(
                                       memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, qb, w, compute_rfs),
+        functools.partial(_fused_kernel, qb, w, compute_rfs, has_rf_dist),
         grid=(qp // qb,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((qb, f, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
         interpret=interpret,
-    )(radius_arr, vals.astype(jnp.float32), dist_inf.astype(jnp.float32),
-      params)
+    )(*args)
     hist = out[0].reshape(qp, N_COS * N_LO)[:q]
     if compute_rfs:
         return hist, out[1][:q, :9].reshape(q, 3, 3)

@@ -106,7 +106,7 @@ def sharded_shot_descriptors(
 
     rf_spec = P(POINTS_AXIS, None, None)
     if use_grid:
-        from ..models.shot import _local_rfs_ff, shot_from_window_ff
+        from ..models.shot import shot_from_window_ff
         from ..ops.grid_hash import window_distances
 
         max_r = float(radius) if rf_radius is None else float(max(radius, rf_radius))
@@ -119,21 +119,18 @@ def sharded_shot_descriptors(
             # grouped feature-planar window fetch + no-top-k SHOT — the same
             # exact-uncapped formulation as the single-device grid path
             vals, d, win_ok, _rows = window_distances(grid_rep, kp_block)
+            rf_dist_inf = None
             if rfs_block is None and rf_radius is not None:
-                ok_rf = win_ok & (d <= rf_radius)
-                centered = jnp.where(
-                    ok_rf[:, None, :],
-                    vals[:, :3, :] - kp_block[:, :, None], 0.0,
-                )
-                rfs_block = _local_rfs_ff(
-                    centered, jnp.where(ok_rf, d, 0.0), ok_rf, rf_radius
-                )
+                # bi-scale: frames from the rf_radius validity plane of the
+                # same window (resolved inside shot_from_window_ff)
+                rf_dist_inf = jnp.where(win_ok & (d <= rf_radius), d, jnp.inf)
             dist_inf = jnp.where(win_ok & (d <= radius), d, jnp.inf)
             return shot_from_window_ff(
                 kp_block, vals, dist_inf, radius,
                 normalize=normalize,
                 min_neighborhood_size=min_neighborhood_size,
-                local_rfs=rfs_block,
+                local_rfs=rfs_block, rf_dist_inf=rf_dist_inf,
+                rf_radius=rf_radius if rf_dist_inf is not None else None,
             )
 
         if rfs_in is None:

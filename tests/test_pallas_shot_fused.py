@@ -108,6 +108,35 @@ def test_fused_kernel_in_kernel_rfs_empty(rng):
     np.testing.assert_allclose(np.asarray(rfs)[5], np.eye(3), atol=0)
 
 
+def test_fused_kernel_biscale_rf_plane(rng):
+    # bi-scale: frames from the rf_radius validity plane, bins from radius —
+    # must match the XLA _local_rfs_ff computed on the rf plane
+    kp, vals_ff, dist_inf = _window_case(rng, q=12, w=160, radius=1.2)
+    radius, rf_radius = 0.8, 1.2
+    rf_dist_inf = dist_inf  # the full 1.2-radius plane
+    desc_dist_inf = np.where(dist_inf <= radius, dist_inf, np.inf).astype(
+        np.float32
+    )
+    ok_rf = jnp.isfinite(jnp.asarray(rf_dist_inf))
+    centered_rf = jnp.where(
+        ok_rf[:, None, :], jnp.asarray(vals_ff[:, :3, :]) - kp[:, :, None], 0.0
+    )
+    ref_rfs = ms._local_rfs_ff(
+        centered_rf, jnp.where(ok_rf, rf_dist_inf, 0.0), ok_rf, rf_radius
+    )
+    got_hist, got_rfs = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(desc_dist_inf), jnp.asarray(kp),
+        None, radius, rf_dist_inf=jnp.asarray(rf_dist_inf),
+        rf_radius=rf_radius, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_rfs), np.asarray(ref_rfs),
+                               atol=2e-4)
+    ref_hist, _ = _xla_histogram(kp, vals_ff, desc_dist_inf, radius,
+                                 rfs=got_rfs)
+    np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
+                               atol=5e-3)
+
+
 def test_fused_kernel_empty_neighborhoods(rng):
     kp, vals_ff, dist_inf = _window_case(rng, q=8, w=96)
     dist_inf[3] = np.inf  # query 3: no valid neighbors -> zero histogram
