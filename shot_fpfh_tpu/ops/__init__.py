@@ -6,10 +6,13 @@ from .neighbors import (
     radius_count,
     radius_search,
 )
+from .pallas_radius import fused_kernels_enabled, set_fused_kernels
 
 __all__ = [
     "eigh3x3",
     "pca_eigh",
+    "fused_kernels_enabled",
+    "set_fused_kernels",
     "Neighborhoods",
     "knn",
     "nearest_neighbor",
