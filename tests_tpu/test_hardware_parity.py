@@ -122,6 +122,25 @@ def test_fused_shot_kernel_matches_xla_on_tpu():
     assert np.abs(np.asarray(got2)).sum() > 0
 
 
+def test_fused_shot_kernel_non_tile_width_on_tpu():
+    # W not a multiple of the 128-lane tile: Mosaic must pad, not mislower
+    from shot_fpfh_tpu.ops.pallas_shot_fused import shot_binning_histogram
+
+    kp, vals_ff, dist_inf = _window_case(seed=6, q=24, w=96)
+    hist, rfs_k = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), None,
+        0.8,
+    )
+    hist_i, rfs_i = shot_binning_histogram(
+        jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), None,
+        0.8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rfs_k), np.asarray(rfs_i),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_i),
+                               atol=5e-3)
+
+
 def test_fused_spfh_kernel_matches_xla_on_tpu():
     from shot_fpfh_tpu.models.fpfh import _spfh_from_values
     from shot_fpfh_tpu.ops.pallas_fpfh_fused import spfh_histogram
