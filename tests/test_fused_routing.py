@@ -1,0 +1,130 @@
+"""The fused-kernel ROUTING branches, exercised on CPU via interpret mode.
+
+The kernels themselves are pinned by tests/test_pallas_shot_fused.py and
+tests/test_pallas_fpfh_fused.py; these tests force the gate on (monkeypatched
+``_use_fused_kernel`` / ``_use_fused_spfh``) with the kernels in interpret
+mode, so the branch plumbing — dist/count epilogues, rf returns, bi-scale
+plane construction — runs on CPU instead of only on hardware.
+"""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import shot_fpfh_tpu.models.fpfh as mf
+import shot_fpfh_tpu.models.shot as ms
+import shot_fpfh_tpu.ops.pallas_fpfh_fused as pff
+import shot_fpfh_tpu.ops.pallas_shot_fused as psf
+
+
+@pytest.fixture
+def force_fused(monkeypatch):
+    monkeypatch.setattr(ms, "_use_fused_kernel", lambda: True)
+    monkeypatch.setattr(mf, "_use_fused_spfh", lambda: True)
+    monkeypatch.setattr(
+        psf, "shot_binning_histogram",
+        functools.partial(psf.shot_binning_histogram, interpret=True),
+    )
+    monkeypatch.setattr(
+        pff, "spfh_histogram",
+        functools.partial(pff.spfh_histogram, interpret=True),
+    )
+    # the routed functions are jitted with the gate read at trace time
+    import jax
+
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
+def _window(rng, q=12, w=160, radius=0.8):
+    kp = rng.normal(size=(q, 3)).astype(np.float32)
+    pts = kp[:, None, :] + rng.normal(scale=0.4, size=(q, w, 3)).astype(np.float32)
+    nrm = rng.normal(size=(q, w, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    vals_ff = np.moveaxis(
+        np.concatenate([pts, nrm, np.zeros((q, w, 2))], axis=-1), 1, 2
+    ).astype(np.float32)
+    d = np.linalg.norm(pts - kp[:, None, :], axis=-1)
+    dist_inf = np.where(d <= radius, d, np.inf).astype(np.float32)
+    return kp, vals_ff, dist_inf
+
+
+def test_shot_window_fused_branch_matches_xla(rng, force_fused):
+    # shared frames sidestep the known ~2e-4 Jacobi-vs-eigh frame delta, so
+    # the branch (binning + finalize epilogue) must match the XLA path tightly
+    kp, vals_ff, dist_inf = _window(rng)
+    radius = 0.8
+    ok = jnp.isfinite(jnp.asarray(dist_inf))
+    centered = jnp.where(ok[:, None, :],
+                         jnp.asarray(vals_ff[:, :3, :]) - kp[:, :, None], 0.0)
+    rfs = ms._local_rfs_ff(centered, jnp.where(ok, dist_inf, 0.0), ok, radius)
+
+    fused_desc, fused_rfs = ms.shot_from_window_ff(
+        jnp.asarray(kp), jnp.asarray(vals_ff), jnp.asarray(dist_inf), radius,
+        normalize=True, min_neighborhood_size=5, local_rfs=rfs,
+    )
+    import jax
+
+    jax.clear_caches()
+    import shot_fpfh_tpu.models.shot as ms2
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(ms2, "_use_fused_kernel", lambda: False)
+        xla_desc, _ = ms2.shot_from_window_ff(
+            jnp.asarray(kp), jnp.asarray(vals_ff), jnp.asarray(dist_inf),
+            radius, normalize=True, min_neighborhood_size=5, local_rfs=rfs,
+        )
+    np.testing.assert_allclose(np.asarray(fused_desc), np.asarray(xla_desc),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused_rfs), np.asarray(rfs), atol=0)
+
+
+def test_shot_window_fused_branch_computes_rfs(rng, force_fused):
+    kp, vals_ff, dist_inf = _window(rng, q=11)
+    desc, rfs = ms.shot_from_window_ff(
+        jnp.asarray(kp), jnp.asarray(vals_ff), jnp.asarray(dist_inf), 0.8,
+        normalize=True, min_neighborhood_size=5,
+    )
+    assert rfs.shape == (11, 3, 3)
+    # frames are orthonormal rotations
+    eye = np.einsum("qij,qik->qjk", np.asarray(rfs), np.asarray(rfs))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (11, 3, 3)),
+                               atol=1e-4)
+    # normalized, and sparse neighborhoods zeroed by the epilogue
+    norms = np.linalg.norm(np.asarray(desc), axis=1)
+    assert np.all((np.abs(norms - 1.0) < 1e-4) | (norms == 0.0))
+
+
+def test_shot_window_fused_branch_min_neighborhood(rng, force_fused):
+    kp, vals_ff, dist_inf = _window(rng, q=8, w=96)
+    dist_inf[3] = np.inf  # empty neighborhood
+    desc, _ = ms.shot_from_window_ff(
+        jnp.asarray(kp), jnp.asarray(vals_ff), jnp.asarray(dist_inf), 0.8,
+        normalize=True, min_neighborhood_size=5,
+    )
+    assert not np.any(np.asarray(desc)[3])
+    assert np.any(np.asarray(desc)[:3])
+
+
+def test_spfh_window_fused_branch_matches_xla(rng, force_fused):
+    # drive the real window path (grid build + fused SPFH branch) end to end
+    from shot_fpfh_tpu.ops.grid_hash import build_grid
+
+    pts = rng.normal(size=(4000, 3)).astype(np.float32) * 2.0
+    nrm = rng.normal(size=(4000, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+    radius = 0.7
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    qc = jnp.asarray(grid.packed_sorted[:256, :3])
+    qn = jnp.asarray(grid.packed_sorted[:256, 3:6])
+
+    fused = mf._spfh_window_block(grid, qc, qn, radius, 5, False)
+    import jax
+
+    jax.clear_caches()
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mf, "_use_fused_spfh", lambda: False)
+        xla = mf._spfh_window_block(grid, qc, qn, radius, 5, False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla), atol=1e-5)
