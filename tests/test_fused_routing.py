@@ -18,6 +18,10 @@ import shot_fpfh_tpu.models.shot as ms
 import shot_fpfh_tpu.ops.pallas_fpfh_fused as pff
 import shot_fpfh_tpu.ops.pallas_shot_fused as psf
 
+from _windows import window_case
+
+_window = functools.partial(window_case, drop=0.0)
+
 
 @pytest.fixture
 def force_fused(monkeypatch):
@@ -37,19 +41,6 @@ def force_fused(monkeypatch):
     jax.clear_caches()
     yield
     jax.clear_caches()
-
-
-def _window(rng, q=12, w=160, radius=0.8):
-    kp = rng.normal(size=(q, 3)).astype(np.float32)
-    pts = kp[:, None, :] + rng.normal(scale=0.4, size=(q, w, 3)).astype(np.float32)
-    nrm = rng.normal(size=(q, w, 3))
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    vals_ff = np.moveaxis(
-        np.concatenate([pts, nrm, np.zeros((q, w, 2))], axis=-1), 1, 2
-    ).astype(np.float32)
-    d = np.linalg.norm(pts - kp[:, None, :], axis=-1)
-    dist_inf = np.where(d <= radius, d, np.inf).astype(np.float32)
-    return kp, vals_ff, dist_inf
 
 
 def test_shot_window_fused_branch_matches_xla(rng, force_fused):

@@ -6,27 +6,16 @@ histograms exactly: same Darboux conventions (reference fpfh.py:38-90), same
 (~1e-6 rad).  Runs in interpret mode on CPU.
 """
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
+from _windows import window_case
 from shot_fpfh_tpu.models.fpfh import _spfh_from_values
 from shot_fpfh_tpu.ops.pallas_fpfh_fused import spfh_histogram
 
-
-def _window_case(rng, c=12, w=160, radius=0.8, drop=0.1):
-    q = rng.normal(size=(c, 3)).astype(np.float32)
-    qn = rng.normal(size=(c, 3))
-    qn /= np.linalg.norm(qn, axis=-1, keepdims=True)
-    pts = q[:, None, :] + rng.normal(scale=0.4, size=(c, w, 3)).astype(np.float32)
-    nrm = rng.normal(size=(c, w, 3))
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    vals_ff = np.moveaxis(
-        np.concatenate([pts, nrm, np.zeros((c, w, 2))], axis=-1), 1, 2
-    ).astype(np.float32)  # (C, 8, W)
-    d = np.linalg.norm(pts - q[:, None, :], axis=-1)
-    keep = (d <= radius) & (rng.uniform(size=(c, w)) > drop)
-    dist_inf = np.where(keep, d, np.inf).astype(np.float32)
-    return q.astype(np.float32), qn.astype(np.float32), vals_ff, dist_inf
+_window_case = functools.partial(window_case, query_normals=True)
 
 
 def _xla_spfh(q, qn, vals_ff, dist_inf, n_bins, decorrelated):
@@ -57,7 +46,7 @@ def test_fused_spfh_joint_matches_xla(rng):
 
 
 def test_fused_spfh_decorrelated_matches_xla(rng):
-    q, qn, vals_ff, dist_inf = _window_case(rng, c=11, w=96)
+    q, qn, vals_ff, dist_inf = _window_case(rng, q=11, w=96)
     ref = _xla_spfh(q, qn, vals_ff, dist_inf, n_bins=5, decorrelated=True)
     got = spfh_histogram(
         jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(q),
@@ -68,7 +57,7 @@ def test_fused_spfh_decorrelated_matches_xla(rng):
 
 
 def test_fused_spfh_empty_neighborhood(rng):
-    q, qn, vals_ff, dist_inf = _window_case(rng, c=8, w=96)
+    q, qn, vals_ff, dist_inf = _window_case(rng, q=8, w=96)
     dist_inf[2] = np.inf
     got = np.asarray(spfh_histogram(
         jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(q),

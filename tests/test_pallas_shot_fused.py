@@ -11,23 +11,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from _windows import window_case as _window_case
 from shot_fpfh_tpu.models import shot as ms
 from shot_fpfh_tpu.ops.pallas_shot_fused import shot_binning_histogram
-
-
-def _window_case(rng, q=12, w=160, radius=0.8, drop=0.1):
-    kp = rng.normal(size=(q, 3)).astype(np.float32)
-    pts = kp[:, None, :] + rng.normal(scale=0.4, size=(q, w, 3)).astype(np.float32)
-    nrm = rng.normal(size=(q, w, 3))
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    vals = np.concatenate(
-        [pts, nrm, np.zeros((q, w, 2))], axis=-1
-    ).astype(np.float32)
-    vals_ff = np.moveaxis(vals, 1, 2)  # (Q, 8, W) feature-first
-    d = np.linalg.norm(pts - kp[:, None, :], axis=-1)
-    keep = (d <= radius) & (rng.uniform(size=(q, w)) > drop)
-    dist_inf = np.where(keep, d, np.inf).astype(np.float32)
-    return kp, vals_ff, dist_inf
 
 
 def _xla_histogram(kp, vals_ff, dist_inf, radius, rfs=None):
