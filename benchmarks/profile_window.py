@@ -108,6 +108,15 @@ def main():
     t_lrf = timed("fetch + LRF", fetch_lrf, kp)
     t_desc = timed("fetch + LRF + binning + histogram", full_desc, kp)
     t_all = timed("fetch + LRF + hist + matching", full_match, kp)
+
+    # fused Pallas kernel A/B on the same pipeline (TPU only)
+    from shot_fpfh_tpu.ops.pallas_radius import _on_tpu, set_fused_kernels
+
+    if _on_tpu():
+        set_fused_kernels(True)
+        timed("fetch + FUSED kernel (LRF+bin+hist)", full_desc, kp)
+        timed("fetch + FUSED kernel + matching", full_match, kp)
+        set_fused_kernels(False)
     idx_count = n_kp * gc
     bytes_moved = idx_count * 8 * 8 * 4  # G=8 rows x 8 features x f32
     print(f"marginals: fetch {t_fetch*1e3:.2f} | LRF {1e3*(t_lrf-t_fetch):.2f} "
