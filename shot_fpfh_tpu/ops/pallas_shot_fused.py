@@ -207,11 +207,15 @@ def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
                 cx, cy, cz, finite.astype(jnp.float32), rho, r
             )
         rfs_ref = rfs_out[0]
-        # rf row-major [x0 y0 z0 x1 y1 z1 x2 y2 z2] (columns are the axes)
-        for j, axis in enumerate((x_ax, y_ax, z_ax)):
-            for i in range(3):
-                rfs_ref[:, i * 3 + j:i * 3 + j + 1] = axis[i]
-        rfs_ref[:, 9:] = jnp.zeros((qb, 7), jnp.float32)
+        # rf row-major [x0 y0 z0 x1 y1 z1 x2 y2 z2] (columns are the axes);
+        # one full-block store (a lane concat lowers more robustly on Mosaic
+        # than nine strided single-column stores)
+        rfs_ref[:] = jnp.concatenate(
+            [x_ax[0], y_ax[0], z_ax[0],
+             x_ax[1], y_ax[1], z_ax[1],
+             x_ax[2], y_ax[2], z_ax[2],
+             jnp.zeros((qb, 7), jnp.float32)], axis=1,
+        )
     else:
         x_ax = [p[:, 3:4], p[:, 6:7], p[:, 9:10]]
         y_ax = [p[:, 4:5], p[:, 7:8], p[:, 10:11]]
