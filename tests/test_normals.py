@@ -133,13 +133,14 @@ def test_pca_features_grid_path_matches_brute(rng):
     assert np.isfinite(feats).all()
 
 
-def test_pca_features_verbose_plots_sizes(rng, caplog):
+def test_pca_features_verbose_plots_sizes(rng, caplog, tmp_path, monkeypatch):
     """verbose=True routes through plot_neighborhood_sizes (reference
     pca_based_descriptors.py:105-119) and logs the stats."""
     import logging
 
     from shot_fpfh_tpu.models.normals import compute_pca_based_features
 
+    monkeypatch.chdir(tmp_path)  # the plot lands in cwd, not the repo
     pts = rng.normal(size=(200, 3)).astype(np.float32)
     with caplog.at_level(logging.INFO):
         feats = compute_pca_based_features(pts[:40], pts, 0.8, verbose=True)
