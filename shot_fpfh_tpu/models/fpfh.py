@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.descriptor_bins import darboux_angles
 from ..ops.histogram import batched_histogram, bin_index, factored_histogram
 from ..ops.grid_hash import radius_search_with_values_auto
 
@@ -196,24 +197,15 @@ def _spfh_window_block(grid, qc, qn, radius, n_bins, decorrelated):
         hist = spfh_histogram(vals, dist_inf, qc, qn, n_bins, decorrelated)
         return hist / count[:, None]
     # the Darboux frame needs the raw offsets, not just |d| (XLA CSEs these
-    # with the helper's internal diffs)
+    # with the helper's internal diffs); angle math shared with the fused
+    # kernel via ops.descriptor_bins.darboux_angles
     dx = vals[:, 0, :] - qc[:, 0:1]
     dy = vals[:, 1, :] - qc[:, 1:2]
     dz = vals[:, 2, :] - qc[:, 2:3]
     ux, uy, uz = qn[:, 0:1], qn[:, 1:2], qn[:, 2:3]
-    # Darboux frame, feature-planar: v = diff x u (unnormalized, as the
-    # reference), w = u x v
-    vx = dy * uz - dz * uy
-    vy = dz * ux - dx * uz
-    vz = dx * uy - dy * ux
-    wx = uy * vz - uz * vy
-    wy = uz * vx - ux * vz
-    wz = ux * vy - uy * vx
     nx, ny, nz = vals[:, 3, :], vals[:, 4, :], vals[:, 5, :]
-    alpha = vx * nx + vy * ny + vz * nz
-    phi = (dx * ux + dy * uy + dz * uz) / jnp.where(valid, d, 1.0)
-    theta = jnp.arctan2(nx * wx + ny * wy + nz * wz,
-                        nx * ux + ny * uy + nz * uz)
+    alpha, phi, theta = darboux_angles(dx, dy, dz, nx, ny, nz, ux, uy, uz,
+                                       jnp.where(valid, d, 1.0))
 
     a_bin, a_in = bin_index(alpha, -1.0, 1.0, n_bins)
     p_bin, p_in = bin_index(phi, -1.0, 1.0, n_bins)

@@ -30,16 +30,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.subsampling import grid_subsample
+# the bin conventions live in ops.descriptor_bins (single source of truth,
+# shared with the Pallas kernels); re-exported here under their historic names
+from ..ops.descriptor_bins import (
+    N_AZ as N_AZIMUTH_BINS,
+    N_COS as N_COSINE_BINS,
+    N_ELEV as N_ELEVATION_BINS,
+    N_RAD as N_RADIAL_BINS,
+    SHOT_DIM,
+    azimuth_bin as azimuth_bin_index,
+    interpolate_husks,
+    interpolate_vertical,
+    shot_soft_bins,
+)
 from ..ops.eigh3 import eigh3x3
 # histogram accumulation is SHOT-specialized below (_shot_bilinear_histogram)
 from ..ops.grid_hash import radius_search_with_values_auto
 from ..ops.neighbors import Neighborhoods, radius_search
-
-N_COSINE_BINS = 11
-N_AZIMUTH_BINS = 8
-N_ELEVATION_BINS = 2
-N_RADIAL_BINS = 2
-SHOT_DIM = N_COSINE_BINS * N_AZIMUTH_BINS * N_ELEVATION_BINS * N_RADIAL_BINS  # 352
 
 
 # --------------------------------------------------------------- debug ------
@@ -98,55 +105,6 @@ def _debug_report(n_bad_bin, n_bad_weight):
             "quadrilinear weight sums among valid neighbors",
             int(n_bad_bin), int(n_bad_weight),
         )
-
-
-def azimuth_bin_index(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """8-way azimuth octant of (x, y), clockwise, first bin between pi and
-    3pi/4 — bit-for-bit the reference convention (shot.py:51-70)."""
-    a = (y > 0) | ((y == 0) & (x < 0))
-    half = (x > 0) | ((x == 0) & (y > 0))
-    corner = jnp.where(
-        (x * y > 0) | (x == 0), jnp.abs(x) < jnp.abs(y), jnp.abs(x) > jnp.abs(y)
-    )
-    return (
-        4 * a.astype(jnp.int32)
-        + 2 * jnp.logical_xor(half, a).astype(jnp.int32)
-        + corner.astype(jnp.int32)
-    )
-
-
-def interpolate_husks(distance: jnp.ndarray, radius) -> tuple:
-    """Radial soft-binning between the two husks centered at r/4 and 3r/4
-    (reference shot.py:73-118).  Returns (outer, inner, current) weights."""
-    r = radius
-    half = r / 2.0
-    inner = ((distance > half) & (distance < r * 0.75)) * (r * 0.75 - distance) / half
-    outer = ((distance < half) & (distance > r * 0.25)) * (distance - r * 0.25) / half
-    current = (distance < half) * (1.0 - jnp.abs(distance - r * 0.25) / half) + (
-        distance > half
-    ) * (1.0 - jnp.abs(distance - r * 0.75) / half)
-    return outer, inner, current
-
-
-def interpolate_vertical(phi: jnp.ndarray, z: jnp.ndarray) -> tuple:
-    """Elevation soft-binning between volumes centered at pi/4 and 3pi/4
-    (reference shot.py:121-171).  Returns (upper, lower, current) weights."""
-    half_pi = jnp.pi / 2.0
-    at_edge = jnp.abs(phi - half_pi) < 1e-10
-    upper = (
-        (((phi > half_pi) | (at_edge & (z <= 0))) & (phi <= jnp.pi * 0.75))
-        * (jnp.pi * 0.75 - phi)
-        / half_pi
-    )
-    lower = (
-        (((phi < half_pi) & (~at_edge | (z > 0))) & (phi >= jnp.pi * 0.25))
-        * (phi - jnp.pi * 0.25)
-        / half_pi
-    )
-    current = (phi < half_pi) * (1.0 - jnp.abs(phi - jnp.pi * 0.25) / half_pi) + (
-        phi >= half_pi
-    ) * (1.0 - jnp.abs(phi - jnp.pi * 0.75) / half_pi)
-    return upper, lower, current
 
 
 @jax.jit
@@ -312,70 +270,36 @@ def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
     rho_safe = jnp.where(valid, rho, 1.0)
     theta = jnp.arctan2(ly, lx)
     phi = jnp.arccos(jnp.clip(lz / rho_safe, -1.0, 1.0))
-
-    cos_bin_pos = (cosine + 1.0) * N_COSINE_BINS / 2.0 - 0.5
-    cos_bin = jnp.rint(cos_bin_pos).astype(jnp.int32)  # round-half-even, in [0, 10]
-    az_bin = azimuth_bin_index(lx, ly)
-    elev_bin = (lz > 0).astype(jnp.int32)
-    rad_bin = (rho > radius / 2.0).astype(jnp.int32)
-
-    # cosine interpolation
-    delta_cos = cos_bin_pos - cos_bin
-    sign_cos = jnp.sign(delta_cos).astype(jnp.int32)
-    abs_cos = jnp.abs(delta_cos)
-    cos_nb = (cos_bin + sign_cos) % N_COSINE_BINS
-
-    # radial husks
-    outer, inner, husk_cur = interpolate_husks(rho, radius)
-    # elevation volumes
-    upper, lower, vert_cur = interpolate_vertical(phi, lz)
-    # azimuth wrap-around
-    az_size = 2.0 * jnp.pi / N_AZIMUTH_BINS
-    delta_az = jnp.clip(
-        (theta - (-jnp.pi + az_bin * az_size)) / az_size - 0.5, -0.5, 0.5
-    )
-    sign_az = jnp.sign(delta_az).astype(jnp.int32)
-    abs_az = jnp.abs(delta_az)
-    az_nb = (az_bin + sign_az) % N_AZIMUTH_BINS
+    sb = shot_soft_bins(lx, ly, lz, rho, theta, phi, cosine, radius)
 
     # The 352-bin space factorizes as 11 cosine bins x 32 spatial cells
     # (azimuth*4 + elevation*2 + radial) and the scatter-add becomes a
-    # factored one-hot contraction on the MXU.  Two algebraic reductions cut
-    # the contraction from the naive 10K width (10 contributions x K
-    # neighbors) to 2K:
+    # factored one-hot contraction on the MXU.  ``shot_soft_bins``'s merged
+    # terms cut the contraction from the naive 10K width (10 contributions x
+    # K neighbors) to 2K:
     #   1. the four contributions that land in the SAME (cos_bin, cell) pair
     #      — cosine-current, husk-current, volume-current, azimuth-current —
-    #      merge into one summed weight;
+    #      merge into one summed weight (``w_same``);
     #   2. nine of the ten contributions share the cos_bin one-hot, so their
     #      cell-side one-hots sum FIRST (VPU adds) and contract once; only
     #      the cosine-neighbor term needs the second (cos_nb) one-hot.
-    def lo(a, e, r):
-        return (a * N_ELEVATION_BINS + e) * N_RADIAL_BINS + r
-
-    base = lo(az_bin, elev_bin, rad_bin)
-    w_same = (1.0 - abs_cos) + husk_cur + vert_cur + (1.0 - abs_az)
-    # the radial-neighbor pair (outer→rad 1 when rad=0, inner→rad 0 when
-    # rad=1) and the elevation-neighbor pair merge likewise: both target the
-    # complementary bin, so one term with the condition-selected weight covers
-    # each pair
-    w_husk_nb = outer * (rad_bin == 0) + inner * (rad_bin == 1)
-    w_vert_nb = upper * (elev_bin == 0) + lower * (elev_bin == 1)
     cos_bin_terms = [
-        (base, w_same),
-        (lo(az_bin, elev_bin, 1 - rad_bin), w_husk_nb),
-        (lo(az_bin, 1 - elev_bin, rad_bin), w_vert_nb),
-        (lo(az_nb, elev_bin, rad_bin), abs_az),
+        (sb.base, sb.w_same),
+        (sb.lo_husk, sb.w_husk_nb),
+        (sb.lo_vert, sb.w_vert_nb),
+        (sb.lo_az, sb.abs_az),
     ]
-    cos_nb_terms = [(base, abs_cos)]
+    cos_nb_terms = [(sb.base, sb.abs_cos)]
 
     if _DEBUG["enabled"]:  # trace-time flag; enable_debug_checks clears caches
-        total_w = w_same + w_husk_nb + w_vert_nb + abs_az + abs_cos
+        total_w = sb.w_same + sb.w_husk_nb + sb.w_vert_nb + sb.abs_az + sb.abs_cos
         n_bad_bin, n_bad_w = _binning_violations(
-            cos_bin, cos_nb, az_bin, elev_bin, rad_bin, total_w, valid
+            sb.cos_bin, sb.cos_nb, sb.az_bin, sb.elev_bin, sb.rad_bin,
+            total_w, valid
         )
         jax.debug.callback(_debug_report, n_bad_bin, n_bad_w)
     desc = _shot_bilinear_histogram(
-        [(cos_bin, cos_bin_terms), (cos_nb, cos_nb_terms)], valid
+        [(sb.cos_bin, cos_bin_terms), (sb.cos_nb, cos_nb_terms)], valid
     )
     return _shot_finalize(desc, jnp.sum(valid, axis=-1), normalize,
                           min_neighborhood_size)

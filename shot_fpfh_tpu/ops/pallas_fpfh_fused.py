@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .descriptor_bins import darboux_angles
 # bin_index is pure jnp and lowers on Mosaic as-is — reused verbatim so the
 # kernel's bin-edge rounding is bit-identical to the XLA path's
 from .histogram import bin_index as _bin
@@ -44,11 +45,10 @@ from .pallas_shot import _atan2
 
 
 def _darboux(vals_ref, dist_ref, params_ref):
-    """Shared per-neighbor stage: (α, φ, θ, valid_f, ok_f) on (QB, W)."""
+    """Shared per-neighbor stage: (α, φ, θ, valid_f) on (QB, W)."""
     d = dist_ref[:]
     finite = d < jnp.float32(3.0e38)
     rho = jnp.where(finite, d, 0.0)
-    okf = finite.astype(jnp.float32)
     valid = finite & (rho > 0)
 
     p = params_ref  # (QB, 8): [qx qy qz | unx uny unz | pad pad]
@@ -59,24 +59,18 @@ def _darboux(vals_ref, dist_ref, params_ref):
     dy = jnp.where(finite, vals_ref[:, 1, :] - p[:, 1:2], 0.0)
     dz = jnp.where(finite, vals_ref[:, 2, :] - p[:, 2:3], 0.0)
     ux, uy, uz = p[:, 3:4], p[:, 4:5], p[:, 5:6]
-    # v = diff x u (unnormalized, reference fpfh.py:50-56), w = u x v
-    vx = dy * uz - dz * uy
-    vy = dz * ux - dx * uz
-    vz = dx * uy - dy * ux
-    wx = uy * vz - uz * vy
-    wy = uz * vx - ux * vz
-    wz = ux * vy - uy * vx
     nx = jnp.where(finite, vals_ref[:, 3, :], 0.0)
     ny = jnp.where(finite, vals_ref[:, 4, :], 0.0)
     nz = jnp.where(finite, vals_ref[:, 5, :], 0.0)
-    alpha = vx * nx + vy * ny + vz * nz
-    phi = (dx * ux + dy * uy + dz * uz) / jnp.where(valid, rho, 1.0)
-    theta = _atan2(nx * wx + ny * wy + nz * wz, nx * ux + ny * uy + nz * uz)
-    return alpha, phi, theta, valid.astype(jnp.float32), okf
+    alpha, phi, theta = darboux_angles(
+        dx, dy, dz, nx, ny, nz, ux, uy, uz,
+        jnp.where(valid, rho, 1.0), atan2=_atan2,
+    )
+    return alpha, phi, theta, valid.astype(jnp.float32)
 
 
 def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
-    alpha, phi, theta, vf, _ = _darboux(vals_ref, dist_ref, params_ref)
+    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
     a_bin, a_in = _bin(alpha, -1.0, 1.0, n_bins)
     p_bin, p_in = _bin(phi, -1.0, 1.0, n_bins)
     t_bin, t_in = _bin(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
@@ -97,16 +91,22 @@ def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
 
 
 def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
-    alpha, phi, theta, vf, _ = _darboux(vals_ref, dist_ref, params_ref)
+    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_bins, w), 0)
+    # binning hoisted above the per-query loop (as in _joint_kernel): one
+    # (QB, W) pass per angle instead of qb (1, W) passes on full sublane
+    # registers
+    binned = []
+    for x, lo, hi in ((alpha, -1.0, 1.0), (phi, -1.0, 1.0),
+                      (theta, -jnp.pi / 2, jnp.pi / 2)):
+        b, in_r = _bin(x, lo, hi, n_bins)
+        binned.append((b, vf * in_r.astype(jnp.float32)))
     for qi in range(qb):
-        rows = []
-        for x, lo, hi in ((alpha, -1.0, 1.0), (phi, -1.0, 1.0),
-                          (theta, -jnp.pi / 2, jnp.pi / 2)):
-            b, in_r = _bin(x[qi:qi + 1, :], lo, hi, n_bins)
-            wgt = vf[qi:qi + 1, :] * in_r.astype(jnp.float32)
-            rows.append(jnp.sum((b == iota).astype(jnp.float32) * wgt,
-                                axis=1))
+        rows = [
+            jnp.sum((b[qi:qi + 1, :] == iota).astype(jnp.float32)
+                    * wgt[qi:qi + 1, :], axis=1)
+            for b, wgt in binned
+        ]
         out_ref[qi] = jnp.stack(rows, axis=0)  # (3, n_bins)
 
 

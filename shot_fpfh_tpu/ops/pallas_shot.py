@@ -45,11 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .descriptor_bins import N_COS, N_LO, shot_soft_bins
+from .descriptor_bins import azimuth_bin as _azimuth_bin  # noqa: F401  (re-export)
+from .descriptor_bins import wrap as _wrap  # noqa: F401  (re-export)
 from .grid_hash import HashGrid
 from .pallas_radius import LANES, RUNS, TILE, _on_tpu, _pack_runs, tile_table
 
-N_COS, N_AZ, N_ELEV, N_RAD = 11, 8, 2, 2
-N_LO = N_AZ * N_ELEV * N_RAD  # 32
 
 
 def _stream(run_tiles, qb, smem, scratch, sems, table_ref):
@@ -159,8 +160,6 @@ def _hist_kernel(run_tiles, qb, r, runs_ref, qpos_ref, table_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) % TILE
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (N_COS, LANES), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (N_LO, LANES), 0)
-    half_pi = jnp.float32(jnp.pi / 2.0)
-    az_size = jnp.float32(2.0 * jnp.pi / N_AZ)
     for q in range(qb):
         qx, qy, qz = smem_q[q, 0], smem_q[q, 1], smem_q[q, 2]
         rf = [smem_q[q, 3 + i] for i in range(9)]  # x(3) y(3) z(3) columns
@@ -186,60 +185,16 @@ def _hist_kernel(run_tiles, qb, r, runs_ref, qpos_ref, table_ref, out_ref,
 
             theta = _atan2(ly, lx)
             phi = _atan2(jnp.sqrt(jnp.maximum(lx * lx + ly * ly, 0.0)), lz)
-
-            cos_pos = (cosine + 1.0) * (N_COS / 2.0) - 0.5
-            cos_bin = jnp.round(cos_pos).astype(jnp.int32)
-            az_bin = _azimuth_bin(lx, ly)
-            elev_bin = (lz > 0).astype(jnp.int32)
-            rad_bin = (rho > r / 2.0).astype(jnp.int32)
-
-            delta_cos = cos_pos - cos_bin.astype(jnp.float32)
-            sign_cos = jnp.sign(delta_cos).astype(jnp.int32)
-            abs_cos = jnp.abs(delta_cos)
-            cos_nb = _wrap(cos_bin + sign_cos, N_COS)
-
-            # radial husks (reference shot.py:73-118): "outer" weights flow
-            # from the inner husk (rho < r/2) toward the outer bin and vice
-            # versa — naming follows models/shot.py::interpolate_husks
-            half = r / 2.0
-            inner = ((rho > half) & (rho < r * 0.75)) * (r * 0.75 - rho) / half
-            outer = ((rho < half) & (rho > r * 0.25)) * (rho - r * 0.25) / half
-            husk_cur = (rho < half) * (1.0 - jnp.abs(rho - r * 0.25) / half) + (
-                rho > half) * (1.0 - jnp.abs(rho - r * 0.75) / half)
-            # elevation volumes (shot.py:121-171)
-            at_edge = jnp.abs(phi - half_pi) < 1e-10
-            upper = ((((phi > half_pi) | (at_edge & (lz <= 0)))
-                      & (phi <= jnp.pi * 0.75))
-                     * (jnp.pi * 0.75 - phi) / half_pi)
-            lower = ((((phi < half_pi) & (~at_edge | (lz > 0)))
-                      & (phi >= jnp.pi * 0.25))
-                     * (phi - jnp.pi * 0.25) / half_pi)
-            vert_cur = (phi < half_pi) * (1.0 - jnp.abs(phi - jnp.pi * 0.25) / half_pi) + (
-                phi >= half_pi) * (1.0 - jnp.abs(phi - jnp.pi * 0.75) / half_pi)
-            # azimuth wrap-around
-            delta_az = jnp.clip(
-                (theta - (-jnp.pi + az_bin.astype(jnp.float32) * az_size))
-                / az_size - 0.5, -0.5, 0.5)
-            sign_az = jnp.sign(delta_az).astype(jnp.int32)
-            abs_az = jnp.abs(delta_az)
-            az_nb = _wrap(az_bin + sign_az, N_AZ)
-
-            def lo(a, e, rr):
-                return (a * N_ELEV + e) * N_RAD + rr
-
-            zeros = jnp.zeros_like(rad_bin)
-            ones = jnp.ones_like(rad_bin)
+            # shared reference bin conventions (ops.descriptor_bins); the
+            # merged terms are the same algebra as the raw ten contributions
+            # (sums of dots are linear), at half the dot count
+            sb = shot_soft_bins(lx, ly, lz, rho, theta, phi, cosine, r)
             contributions = (
-                (cos_nb, lo(az_bin, elev_bin, rad_bin), abs_cos),
-                (cos_bin, lo(az_bin, elev_bin, rad_bin), 1.0 - abs_cos),
-                (cos_bin, lo(az_bin, elev_bin, ones), outer * (rad_bin == 0)),
-                (cos_bin, lo(az_bin, elev_bin, zeros), inner * (rad_bin == 1)),
-                (cos_bin, lo(az_bin, elev_bin, rad_bin), husk_cur),
-                (cos_bin, lo(az_bin, ones, rad_bin), upper * (elev_bin == 0)),
-                (cos_bin, lo(az_bin, zeros, rad_bin), lower * (elev_bin == 1)),
-                (cos_bin, lo(az_bin, elev_bin, rad_bin), vert_cur),
-                (cos_bin, lo(az_nb, elev_bin, rad_bin), abs_az),
-                (cos_bin, lo(az_bin, elev_bin, rad_bin), 1.0 - abs_az),
+                (sb.cos_nb, sb.base, sb.abs_cos),
+                (sb.cos_bin, sb.base, sb.w_same),
+                (sb.cos_bin, sb.lo_husk, sb.w_husk_nb),
+                (sb.cos_bin, sb.lo_vert, sb.w_vert_nb),
+                (sb.cos_bin, sb.lo_az, sb.abs_az),
             )
             vf = valid.astype(jnp.float32)
             for hi_idx, lo_idx, w in contributions:
@@ -268,25 +223,6 @@ def _atan2(y, x):
     r = jnp.where(ay > ax, jnp.float32(jnp.pi / 2) - p, p)
     r = jnp.where(x < 0, jnp.float32(jnp.pi) - r, r)
     return jnp.where(y < 0, -r, r)
-
-
-def _wrap(v, n):
-    """(v mod n) for v in [-1, n] without an integer rem op."""
-    v = jnp.where(v < 0, v + n, v)
-    return jnp.where(v >= n, v - n, v)
-
-
-def _azimuth_bin(x, y):
-    # arithmetic-only formulation: Mosaic cannot lower select/xor on i1
-    # vectors (trunci i8 -> i1 fails), so booleans cast to int32 immediately
-    a = ((y > 0) | ((y == 0) & (x < 0))).astype(jnp.int32)
-    h = ((x > 0) | ((x == 0) & (y > 0))).astype(jnp.int32)
-    cond = ((x * y > 0) | (x == 0)).astype(jnp.int32)
-    lt = (jnp.abs(x) < jnp.abs(y)).astype(jnp.int32)
-    gt = (jnp.abs(x) > jnp.abs(y)).astype(jnp.int32)
-    corner = cond * lt + (1 - cond) * gt
-    xor = a + h - 2 * a * h
-    return 4 * a + 2 * xor + corner
 
 
 def _call(kernel_fn, out_tail, runs, qpos, table, r, run_tiles, qb, interpret):

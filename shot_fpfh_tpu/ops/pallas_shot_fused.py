@@ -51,10 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_shot import _atan2, _azimuth_bin, _wrap
-
-N_COS, N_AZ, N_ELEV, N_RAD = 11, 8, 2, 2
-N_LO = N_AZ * N_ELEV * N_RAD  # 32
+from .descriptor_bins import N_COS, N_LO, shot_soft_bins
+from .pallas_shot import _atan2
 
 
 def _lrf_planes(cx, cy, cz, okf, rho, r):
@@ -164,8 +162,6 @@ def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
     else:
         params_ref, out_ref, *rfs_out = refs
     r = radius_ref[0, 0]
-    half_pi = jnp.float32(jnp.pi / 2.0)
-    az_size = jnp.float32(2.0 * jnp.pi / N_AZ)
 
     d = dist_ref[:]  # (QB, W)
     finite = d < jnp.float32(3.0e38)
@@ -231,64 +227,16 @@ def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
 
     theta = _atan2(ly, lx)
     phi = _atan2(jnp.sqrt(jnp.maximum(lx * lx + ly * ly, 0.0)), lz)
-
-    cos_pos = (cosine + 1.0) * (N_COS / 2.0) - 0.5
-    cos_bin = jnp.round(cos_pos).astype(jnp.int32)
-    az_bin = _azimuth_bin(lx, ly)
-    elev_bin = (lz > 0).astype(jnp.int32)
-    rad_bin = (rho > r / 2.0).astype(jnp.int32)
-
-    delta_cos = cos_pos - cos_bin.astype(jnp.float32)
-    sign_cos = jnp.sign(delta_cos).astype(jnp.int32)
-    abs_cos = jnp.abs(delta_cos)
-    cos_nb = _wrap(cos_bin + sign_cos, N_COS)
-
-    # radial husks (reference shot.py:73-118; naming as models/shot.py)
-    half = r / 2.0
-    inner = ((rho > half) & (rho < r * 0.75)) * (r * 0.75 - rho) / half
-    outer = ((rho < half) & (rho > r * 0.25)) * (rho - r * 0.25) / half
-    husk_cur = (rho < half) * (1.0 - jnp.abs(rho - r * 0.25) / half) + (
-        rho > half
-    ) * (1.0 - jnp.abs(rho - r * 0.75) / half)
-    # elevation volumes (shot.py:121-171)
-    at_edge = jnp.abs(phi - half_pi) < 1e-10
-    upper = (
-        (((phi > half_pi) | (at_edge & (lz <= 0))) & (phi <= jnp.pi * 0.75))
-        * (jnp.pi * 0.75 - phi) / half_pi
-    )
-    lower = (
-        (((phi < half_pi) & (~at_edge | (lz > 0))) & (phi >= jnp.pi * 0.25))
-        * (phi - jnp.pi * 0.25) / half_pi
-    )
-    vert_cur = (phi < half_pi) * (1.0 - jnp.abs(phi - jnp.pi * 0.25) / half_pi) + (
-        phi >= half_pi
-    ) * (1.0 - jnp.abs(phi - jnp.pi * 0.75) / half_pi)
-    # azimuth wrap-around
-    delta_az = jnp.clip(
-        (theta - (-jnp.pi + az_bin.astype(jnp.float32) * az_size)) / az_size
-        - 0.5, -0.5, 0.5,
-    )
-    sign_az = jnp.sign(delta_az).astype(jnp.int32)
-    abs_az = jnp.abs(delta_az)
-    az_nb = _wrap(az_bin + sign_az, N_AZ)
-
-    def lo(a, e, rr):
-        return (a * N_ELEV + e) * N_RAD + rr
-
-    base = lo(az_bin, elev_bin, rad_bin)
-    lo_husk = lo(az_bin, elev_bin, 1 - rad_bin)
-    lo_vert = lo(az_bin, 1 - elev_bin, rad_bin)
-    lo_az = lo(az_nb, elev_bin, rad_bin)
-    # pre-masked weights (same merge as models/shot.py::_shot_accumulate:
-    # the four same-(cos,cell) contributions collapse into w_same, the
-    # complementary husk/volume pairs into condition-selected single terms)
-    rbf = rad_bin.astype(jnp.float32)
-    ebf = elev_bin.astype(jnp.float32)
-    w_same = ((1.0 - abs_cos) + husk_cur + vert_cur + (1.0 - abs_az)) * vf
-    w_husk = (outer * (1.0 - rbf) + inner * rbf) * vf
-    w_vert = (upper * (1.0 - ebf) + lower * ebf) * vf
-    w_az = abs_az * vf
-    w_cnb = abs_cos * vf
+    # shared reference bin conventions (ops.descriptor_bins), merged to the
+    # 2-group form of models/shot.py::_shot_accumulate; weights pre-masked
+    sb = shot_soft_bins(lx, ly, lz, rho, theta, phi, cosine, r)
+    base, lo_husk, lo_vert, lo_az = sb.base, sb.lo_husk, sb.lo_vert, sb.lo_az
+    cos_bin, cos_nb = sb.cos_bin, sb.cos_nb
+    w_same = sb.w_same * vf
+    w_husk = sb.w_husk_nb * vf
+    w_vert = sb.w_vert_nb * vf
+    w_az = sb.abs_az * vf
+    w_cnb = sb.abs_cos * vf
 
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (N_COS, w), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (N_LO, w), 0)
