@@ -68,8 +68,18 @@ def main() -> None:
     # program — a tunnel channel warmup, not framework work).  Do a trivial
     # roundtrip first and report it separately so cold_start measures the
     # framework (grid build + compiles), which is what a local TPU user pays.
+    # The tunnel also flaps (UNAVAILABLE for minutes at a time, observed for
+    # hours once): retry the first sync instead of losing the whole bench.
     t0 = time.perf_counter()
-    float(jnp.zeros(()).sum())
+    for attempt in range(int(os.environ.get("BENCH_WARMUP_RETRIES", 10))):
+        try:
+            float(jnp.zeros(()).sum())
+            break
+        except RuntimeError as exc:
+            log(f"warmup attempt {attempt} failed ({exc}); retrying in 60s")
+            time.sleep(60)
+    else:
+        float(jnp.zeros(()).sum())  # last try: propagate the real error
     tunnel_warmup_s = time.perf_counter() - t0
     log(f"tunnel warmup (first d2h sync): {tunnel_warmup_s:.1f}s")
 
