@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -40,11 +40,22 @@ from shot_fpfh_tpu.registration.matching import nearest_descriptor
 REPS = int(os.environ.get("PROF_REPS", 50))
 
 
+def _perturb(a, delta):
+    # anti-CSE input perturbation (keeps the rep loop's body live across
+    # iterations).  An int first arg (e.g. a raw gather's index array) must
+    # stay int — a promoted float indexer crashes at trace time — so it gets
+    # a 0/1 additive nudge instead (JAX read-indexing clamps out-of-bounds,
+    # so +1 on the max index is safe).
+    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+        return a + delta
+    return a + (jnp.asarray(delta * 1e7, jnp.int32) % 2)  # i*1e-7 -> i % 2
+
+
 def timed(name, fn, *args, extra=""):
     @jax.jit
     def loop(*a):
         def body(i, acc):
-            out = fn(*((a[0] + i * 1e-7,) + a[1:]))
+            out = fn(*((_perturb(a[0], i * 1e-7),) + a[1:]))
             leaves = jax.tree_util.tree_leaves(out)
             return acc + jnp.sum(leaves[0].astype(jnp.float32))
 
@@ -54,7 +65,7 @@ def timed(name, fn, *args, extra=""):
     best = np.inf
     for s in (0.5, 0.25):
         t0 = time.perf_counter()
-        float(loop(*((args[0] + s,) + args[1:])))
+        float(loop(*((_perturb(args[0], s),) + args[1:])))
         best = min(best, (time.perf_counter() - t0) / REPS)
     print(f"{name:52s} {best*1e3:8.3f} ms/rep {extra}", flush=True)
     return best

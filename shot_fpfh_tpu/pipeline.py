@@ -452,7 +452,6 @@ class RegistrationPipeline:
         The keypoint indices the fused program derived (grid subsampling at
         ``keypoint_voxel``) are recorded on the pipeline so the post-ICP
         metrics see the same keypoints as the staged path would."""
-        from .core.subsampling import grid_subsample
         from .registration.fused import register_pair
 
         self.metrics.start("fused")
@@ -472,10 +471,10 @@ class RegistrationPipeline:
         self.metrics.stop(
             matches=int(res.n_matches), icp_rms=float(res.icp_rms),
         )
-        scan32 = np.asarray(self.scan, np.float32)
-        ref32 = np.asarray(self.ref, np.float32)
-        self.scan_keypoints = np.asarray(grid_subsample(scan32, keypoint_voxel))
-        self.ref_keypoints = np.asarray(grid_subsample(ref32, keypoint_voxel))
+        # keypoint indices come back from register_pair's own subsampling —
+        # no second full-cloud subsample pass
+        self.scan_keypoints = res.scan_keypoint_idx
+        self.ref_keypoints = res.ref_keypoint_idx
         return res
 
     # ---------------------------------------------------------------- metrics --

@@ -42,6 +42,12 @@ class FusedResult(NamedTuple):
     n_matches: jnp.ndarray
     icp_rms: jnp.ndarray
     icp_converged: jnp.ndarray
+    # keypoint indices derived by register_pair's host wrapper (grid
+    # subsampling at keypoint_voxel); None when fused_registration is called
+    # directly.  Recorded so callers (pipeline.run_fused) don't repeat the
+    # full-cloud subsample passes.
+    scan_keypoint_idx: np.ndarray | None = None
+    ref_keypoint_idx: np.ndarray | None = None
 
 
 def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None):
@@ -235,8 +241,10 @@ def register_pair(
 
     scan32 = np.asarray(scan, np.float32)
     ref32 = np.asarray(ref, np.float32)
-    scan_kp, scan_kp_valid = pad(scan32[grid_subsample(scan32, keypoint_voxel)], pad_multiple)
-    ref_kp, ref_kp_valid = pad(ref32[grid_subsample(ref32, keypoint_voxel)], pad_multiple)
+    scan_kp_idx = np.asarray(grid_subsample(scan32, keypoint_voxel))
+    ref_kp_idx = np.asarray(grid_subsample(ref32, keypoint_voxel))
+    scan_kp, scan_kp_valid = pad(scan32[scan_kp_idx], pad_multiple)
+    ref_kp, ref_kp_valid = pad(ref32[ref_kp_idx], pad_multiple)
     scan_sub, scan_sub_valid = pad(scan32[grid_subsample(scan32, icp_voxel)], pad_multiple)
 
     grids = {}
@@ -251,7 +259,7 @@ def register_pair(
         d_max = fused_kwargs.setdefault("d_max", 0.3)
         grids["ref_icp_grid"] = build_grid(ref32, float(d_max))
 
-    return fused_registration(
+    res = fused_registration(
         jnp.asarray(scan_kp), jnp.asarray(scan_kp_valid),
         jnp.asarray(ref_kp), jnp.asarray(ref_kp_valid),
         jnp.asarray(scan32), jnp.asarray(scan_normals, jnp.float32),
@@ -259,3 +267,5 @@ def register_pair(
         jnp.asarray(scan_sub), jnp.asarray(scan_sub_valid),
         key, radius=radius, **grids, **fused_kwargs,
     )
+    return res._replace(scan_keypoint_idx=scan_kp_idx,
+                        ref_keypoint_idx=ref_kp_idx)
