@@ -81,9 +81,14 @@ def main():
 
     float(jnp.zeros(()).sum())  # tunnel warmup
     grid = build_grid(cloud, radius / 2, extras=nrm, halo=2)
-    gc = grid.group_cap
+    # this surface-like terrain selects the xy-row run mode, whose gathered
+    # window uses xyrow_group_cap — size the fetch-rate math off the cap the
+    # measured path actually gathers (ADVICE r3 #2)
+    gc = grid.xyrow_group_cap if grid.use_xyrow else grid.group_cap
     W = gc * 8
-    print(f"window_cap={grid.window_cap} group_cap={gc} -> W={W}", flush=True)
+    mode = "xyrow" if grid.use_xyrow else "zcol"
+    print(f"window_cap={grid.window_cap} run_mode={mode} group_cap={gc} "
+          f"-> W={W}", flush=True)
 
     # true neighborhood stats (for the roofline's useful-work ratio)
     _v, d, ok, _r = jax.jit(lambda q: window_distances(grid, q))(kp)

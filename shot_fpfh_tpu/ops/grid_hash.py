@@ -442,9 +442,12 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
 
     Returns ``(values (Qc, F, W), rows (Qc, W), valid (Qc, W))`` — values are
     FEATURE-PLANAR (one (Qc, W) plane per packed feature, the layout
-    ``models.shot.shot_from_window_ff`` consumes) with
-    ``W = (window_cap // G + R) · G``; ``valid`` marks true window rows
-    (radius test NOT applied here).  All intermediates are 2-D (Qc, ·)
+    ``models.shot.shot_from_window_ff`` consumes) with ``W = gc · G``, where
+    ``gc`` is the exact build-time group cap for the active run mode
+    (``xyrow_group_cap`` / ``group_cap`` / ``group_cap16``) or, when no exact
+    cap was computed for this ``group``, the conservative
+    ``ceil(window_cap/G) + 2R`` straddle bound; ``valid`` marks true window
+    rows (radius test NOT applied here).  All intermediates are 2-D (Qc, ·)
     arrays — a first version with (Qc, GC, G) minor-dim-8 tensors was 2x
     SLOWER than the plain row gather from lane padding alone.
 

@@ -185,10 +185,18 @@ def _ms_combined_top1(a_ms, b_ms, row_ok_ms, b_ok_ms, vary=None):
 def multiscale_top1(scan_ms, ref_ms, *, filter_nonreciprocal: bool = False):
     """Single-device multiscale matcher: per scan point, the nearest ref
     point under the running-min-over-scales distance with optional per-scale
-    reciprocal rejection (whole non-reciprocal rows masked to the sentinel,
-    as the reference does with ``sub[non_recip] = max_val``).  Returns
-    ``(idx (Q,), dist (Q,))``; rows whose distance reaches ``MS_MAX_VAL``
-    carry no valid match."""
+    reciprocal rejection (whole non-reciprocal rows masked to the sentinel).
+
+    DELIBERATE DEVIATION (ADVICE r3 #1): the reference's masking line
+    ``distance_matrix_scale[non_empty][non_recip] = max_val``
+    (``matching.py:100-104``) chains fancy indexing, so it writes into a
+    temporary copy and is a silent no-op — reference multiscale matching
+    never actually drops non-reciprocal matches.  We implement the evident
+    intent (the mask is applied); pass ``filter_nonreciprocal=False`` for
+    bit-parity with the reference's de-facto behavior.  See PARITY.md.
+
+    Returns ``(idx (Q,), dist (Q,))``; rows whose distance reaches
+    ``MS_MAX_VAL`` carry no valid match."""
     s_ok = jnp.any(scan_ms != 0, axis=2)  # (S, Q)
     r_ok = jnp.any(ref_ms != 0, axis=2)   # (S, R)
     row_ok = s_ok
