@@ -2,6 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from shot_fpfh_tpu.models import compute_fpfh_descriptor, compute_spfh
+import pytest
 
 
 def numpy_spfh(cloud, normals, radius, n_bins):
@@ -99,6 +100,7 @@ def test_fpfh_rotation_invariance(rng):
     assert np.median(diff) < 0.2
 
 
+@pytest.mark.slow
 def test_fpfh_streamed_large_cloud_branch(monkeypatch, rng):
     """The >AUTO_GRID_MIN_POINTS streamed-SPFH branch must match the dense
     path (threshold monkeypatched so a small cloud exercises it)."""
@@ -118,6 +120,7 @@ def test_fpfh_streamed_large_cloud_branch(monkeypatch, rng):
     assert np.allclose(dense, streamed, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grid_window_fpfh_matches_bruteforce(rng):
     """Above the auto-grid threshold FPFH switches to the grouped-window
     (no top-k, uncapped) formulation; must agree with the brute path given

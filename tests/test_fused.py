@@ -6,8 +6,10 @@ from shot_fpfh_tpu.core import rotation_angle
 from shot_fpfh_tpu.models import compute_normals
 from shot_fpfh_tpu.registration.fused import register_pair
 from tests.test_pipeline import make_pair
+import pytest
 
 
+@pytest.mark.slow
 def test_fused_registration_recovers_ground_truth(rng):
     scan, ref, exact = make_pair(rng, n=2500)
     scan_n = np.asarray(compute_normals(scan, scan, k=20))
@@ -47,6 +49,7 @@ def test_fused_is_single_program(rng):
     assert "while" in text  # the ICP loop is inside the single program
 
 
+@pytest.mark.slow
 def test_fused_registration_grid_path_matches_brute():
     import numpy as np
     import jax

@@ -43,6 +43,7 @@ def force_fused(monkeypatch):
     jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_shot_window_fused_branch_matches_xla(rng, force_fused):
     # shared frames sidestep the known ~2e-4 Jacobi-vs-eigh frame delta, so
     # the branch (binning + finalize epilogue) must match the XLA path tightly
@@ -72,6 +73,7 @@ def test_shot_window_fused_branch_matches_xla(rng, force_fused):
     np.testing.assert_allclose(np.asarray(fused_rfs), np.asarray(rfs), atol=0)
 
 
+@pytest.mark.slow
 def test_shot_window_fused_branch_computes_rfs(rng, force_fused):
     kp, vals_ff, dist_inf = _window(rng, q=11)
     desc, rfs = ms.shot_from_window_ff(
@@ -88,6 +90,7 @@ def test_shot_window_fused_branch_computes_rfs(rng, force_fused):
     assert np.all((np.abs(norms - 1.0) < 1e-4) | (norms == 0.0))
 
 
+@pytest.mark.slow
 def test_shot_window_fused_branch_min_neighborhood(rng, force_fused):
     kp, vals_ff, dist_inf = _window(rng, q=8, w=96)
     dist_inf[3] = np.inf  # empty neighborhood
@@ -99,6 +102,7 @@ def test_shot_window_fused_branch_min_neighborhood(rng, force_fused):
     assert np.any(np.asarray(desc)[:3])
 
 
+@pytest.mark.slow
 def test_spfh_window_fused_branch_matches_xla(rng, force_fused):
     # drive the real window path (grid build + fused SPFH branch) end to end
     from shot_fpfh_tpu.ops.grid_hash import build_grid

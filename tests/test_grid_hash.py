@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -99,6 +100,7 @@ def test_grid_shot_descriptors_match_brute(rng):
     np.testing.assert_allclose(np.asarray(brute), np.asarray(grid), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grid_approx_recall(rng):
     pts = clouds(rng, n=5000, scale=2.0)
     q = pts[:100]
@@ -244,6 +246,7 @@ def test_grouped_window_gather_fragmented_budget(rng):
     np.testing.assert_array_equal(found, want)
 
 
+@pytest.mark.slow
 def test_window_path_tableless_grid(rng):
     """Table-less (sparse) grids must produce EXACT windows through the
     grouped gather — previously every window came back silently empty, so

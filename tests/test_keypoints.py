@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from conftest import make_cloud
 from shot_fpfh_tpu.keypoints import (
@@ -78,6 +79,7 @@ def test_iterative_rounds_matches_sequential(rng, surface_cloud):
     np.testing.assert_array_equal(seq, par)
 
 
+@pytest.mark.slow
 def test_iterative_large_cloud_path(rng):
     """The grid-backed round-parallel path must produce a valid covering set."""
     from shot_fpfh_tpu.keypoints import select_keypoints_iteratively

@@ -51,6 +51,7 @@ def _run_pipeline(pair, mesh, descriptor="shot_single_scale"):
     return p, tfi
 
 
+@pytest.mark.slow
 def test_pipeline_mesh_matches_single_device(pair, mesh):
     p1, tf1 = _run_pipeline(pair, None)
     p8, tf8 = _run_pipeline(pair, mesh)
@@ -67,6 +68,7 @@ def test_pipeline_mesh_matches_single_device(pair, mesh):
     assert terr < 1e-3
 
 
+@pytest.mark.slow
 def test_pipeline_mesh_fpfh_matches_single_device(pair, mesh):
     p1, _ = _run_pipeline(pair, None, descriptor="fpfh")
     p8, _ = _run_pipeline(pair, mesh, descriptor="fpfh")
@@ -99,6 +101,7 @@ def test_sharded_normals_matches_single_device(mesh):
         np.testing.assert_allclose(n2, n1, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shot_computer_mesh_bi_and_multiscale(mesh):
     from shot_fpfh_tpu.models.shot import ShotComputer
 
@@ -118,6 +121,7 @@ def test_shot_computer_mesh_bi_and_multiscale(mesh):
     np.testing.assert_allclose(m8, m1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_n_devices_same_transform(tmp_path):
     """`register_point_clouds --n_devices 8` == `--n_devices 1` (VERDICT r1
     next-round #1 done-criterion), compared on the written post-ICP clouds."""

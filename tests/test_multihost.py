@@ -37,6 +37,7 @@ def ply_pair(tmp_path_factory):
     return scan_path, ref_path, exact
 
 
+@pytest.mark.slow
 def test_two_process_run_matches_single_process(ply_pair, tmp_path):
     scan_path, ref_path, exact = ply_pair
     port = _free_port()
@@ -99,6 +100,7 @@ def test_two_process_run_matches_single_process(ply_pair, tmp_path):
     assert ang < 0.02, f"multi-host rotation error {np.degrees(ang):.2f} deg"
 
 
+@pytest.mark.slow
 def test_run_multihost_single_process_fpfh(ply_pair):
     """The multi-host driver's FPFH leg (single-process smoke: same driver,
     8 local devices)."""

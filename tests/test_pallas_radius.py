@@ -13,6 +13,7 @@ def rng():
     return np.random.default_rng(3)
 
 
+@pytest.mark.slow
 def test_radius_pca_pallas_matches_xla(rng):
     pts = (rng.normal(size=(400, 3)) * 2.0).astype(np.float32)
     q = pts[:40]
@@ -25,6 +26,7 @@ def test_radius_pca_pallas_matches_xla(rng):
     assert np.allclose(np.asarray(cov_x), np.asarray(cov_p), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_radius_pca_pallas_empty_and_edge(rng):
     pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
     far = np.array([[50.0, 50.0, 50.0]], np.float32)  # off-grid query
@@ -37,6 +39,7 @@ def test_radius_pca_pallas_empty_and_edge(rng):
     assert int(cnt[-1]) == 0
 
 
+@pytest.mark.slow
 def test_hybrid_search_matches_xla(rng):
     from shot_fpfh_tpu.ops.grid_hash import grid_radius_search
     from shot_fpfh_tpu.ops.pallas_radius import grid_radius_search_pallas

@@ -24,6 +24,7 @@ def _cloud(rng, n=260):
     return pts, nrm.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pallas_shot_matches_xla_path(rng):
     pts, nrm = _cloud(rng)
     kp = pts[:24]
@@ -39,6 +40,7 @@ def test_pallas_shot_matches_xla_path(rng):
     assert float(np.abs(np.asarray(desc_p)).sum()) > 0
 
 
+@pytest.mark.slow
 def test_pallas_shot_sparse_is_zero(rng):
     pts, nrm = _cloud(rng, n=200)
     kp = pts[:10]

@@ -35,6 +35,7 @@ def _xla_histogram(kp, vals_ff, dist_inf, radius, rfs=None):
     return hist, rfs
 
 
+@pytest.mark.slow
 def test_fused_kernel_matches_xla_histogram(rng):
     kp, vals_ff, dist_inf = _window_case(rng)
     radius = 0.8
@@ -48,6 +49,7 @@ def test_fused_kernel_matches_xla_histogram(rng):
     assert float(np.abs(np.asarray(got)).sum()) > 0
 
 
+@pytest.mark.slow
 def test_fused_kernel_query_padding(rng):
     # Q=11 is not a multiple of the block (8): the pad queries must not leak
     kp, vals_ff, dist_inf = _window_case(rng, q=11, w=96)
@@ -61,6 +63,7 @@ def test_fused_kernel_query_padding(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_fused_kernel_in_kernel_rfs(rng):
     # rfs=None: the kernel computes the local reference frames itself
     # (trig-free Jacobi).  Frames must match the XLA _local_rfs_ff to f32
@@ -123,6 +126,7 @@ def test_fused_kernel_biscale_rf_plane(rng):
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_fused_kernel_empty_neighborhoods(rng):
     kp, vals_ff, dist_inf = _window_case(rng, q=8, w=96)
     dist_inf[3] = np.inf  # query 3: no valid neighbors -> zero histogram

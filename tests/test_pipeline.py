@@ -275,6 +275,7 @@ def test_post_icp_metrics_grid_path_matches_brute():
     assert inliers == float(np.mean(np.asarray(d_kp) <= threshold))
 
 
+@pytest.mark.slow
 def test_cli_fused_matches_staged(tmp_path, rng):
     """--fused routes through the single-program path (VERDICT r2 next #5):
     the recovered transform agrees with the staged pipeline within tolerance,
@@ -343,6 +344,7 @@ def test_cli_fused_matches_staged(tmp_path, rng):
     assert ang < 0.02, f"fused transform off ground truth by {ang} rad"
 
 
+@pytest.mark.slow
 def test_cli_fused_fallback_unsupported_config(tmp_path, rng, caplog):
     """--fused with an unsupported matching algorithm warns and stages."""
     from shot_fpfh_tpu.cli import main

@@ -125,6 +125,7 @@ def test_multihost_helpers_single_process(mesh):
     np.testing.assert_array_equal(np.asarray(arr), kp)
 
 
+@pytest.mark.slow
 def test_scaling_report_runs(mesh):
     from shot_fpfh_tpu.parallel import scaling_report
 
@@ -222,6 +223,7 @@ def test_match_descriptors_multiscale_mesh_route(mesh):
     np.testing.assert_array_equal(ri_m, ri_1)
 
 
+@pytest.mark.slow
 def test_sharded_icp_grid_parity_large_ref(mesh):
     """Above AUTO_GRID_MIN_POINTS the sharded ICP dispatches through the
     replicated grid-hash 1-NN (VERDICT r2 next #4) and agrees with the

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 from shot_fpfh_tpu.models import compute_shot_descriptor, local_reference_frames
 from shot_fpfh_tpu.models.shot import shot_from_neighborhoods
 from shot_fpfh_tpu.ops import radius_search
+import pytest
 
 
 # ---------------------------------------------------------------- oracle ----
@@ -207,6 +208,7 @@ def test_shot_bi_scale_driver(rng):
     assert np.isfinite(np.asarray(d)).all()
 
 
+@pytest.mark.slow
 def test_grid_window_path_matches_bruteforce_uncapped(rng):
     """Above the auto-grid threshold compute_shot_descriptor switches to the
     full-window (no top-k, uncapped) formulation; it must agree with the
@@ -248,6 +250,7 @@ def test_grid_window_path_matches_bruteforce_uncapped(rng):
     )
 
 
+@pytest.mark.slow
 def test_grid_window_bi_scale_matches_bruteforce(rng):
     """Large-support bi-scale SHOT (window RFs at rf_radius) must agree with
     the brute small-cloud formulation given ample caps."""
@@ -290,6 +293,7 @@ def test_grid_window_bi_scale_matches_bruteforce(rng):
     np.testing.assert_allclose(desc_big, np.asarray(desc_ref), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_shot_debug_checks_clean_batch(rng):
     """A real descriptor batch under --debug_shot reports zero violations
     (counterpart of reference shot.py:414-463 debug_mode)."""
