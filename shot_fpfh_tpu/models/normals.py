@@ -23,10 +23,95 @@ from ..ops.grid_hash import (
 )
 from ..ops.neighbors import radius_search
 
+logger = __import__("logging").getLogger(__name__)
+
 
 def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
     nbr = knn_auto(query_points, cloud_points, k)
     return _normals_from_neighborhoods(query_points, cloud_points, nbr, pre_computed_normals)
+
+
+def _knn_target_radii(grid, queries, k, sample, sample_kth):
+    """Per-query adaptive radius targeting ~1.2k in-radius neighbors.
+
+    Calibrates the local relation between a query's candidate-window count
+    (9 cell_starts lookups — no point data touched) and its k-th-neighbor
+    distance on the host-side sample: ``r_k ≈ A · wcnt^(−e)`` with the
+    geometry exponent ``e`` fit in log space (≈1/2 on surface clouds where
+    count ∝ r², ≈1/3 volumetric) and a residual-quantile safety margin.
+    Returns radii clipped to the grid's coverage contract (≤ cell_size)."""
+    from ..ops.grid_hash import _zcolumn_runs
+
+    r_hat = float(grid.cell_size_static)
+    s, e_ = _zcolumn_runs(grid, jnp.asarray(sample, jnp.float32))
+    wcnt_s = np.maximum(np.asarray(jnp.sum(e_ - s, axis=1)), 1.0)
+    x = np.log(wcnt_s)
+    y = np.log(np.maximum(np.asarray(sample_kth), 1e-9))
+    var = float(np.var(x))
+    e_fit = -float(np.cov(x, y)[0, 1] / var) if var > 1e-12 else 0.5
+    e_fit = float(np.clip(e_fit, 1.0 / 3.0, 0.6))
+    log_a = float(np.median(y + e_fit * x))
+    resid = y - (log_a - e_fit * x)
+    # q90 residual + 10%: ~90% of queries covered directly, the rest caught
+    # by the exactness net
+    margin = float(np.exp(np.quantile(resid, 0.90))) * 1.1
+    qs, qe = _zcolumn_runs(grid, queries)
+    wcnt = jnp.maximum(jnp.sum(qe - qs, axis=1).astype(jnp.float32), 1.0)
+    r_q = np.exp(log_a) * margin * wcnt ** (-e_fit)
+    return jnp.clip(r_q, r_hat / 8.0, r_hat)
+
+
+def _streaming_knn_normals(q, c, k, pre, sample_size: int = 512):
+    """k-mode normals for large clouds via ONE streaming covariance pass.
+
+    DOCUMENTED DEVIATION from exact k-NN PCA (reference
+    pca_based_descriptors.py:29-59, VERDICT r3 #3): the neighborhood is all
+    points within a per-query adaptive radius targeting ≈1.2·k neighbors — a
+    superset of the k nearest whenever the radius covers them — instead of
+    exactly the k nearest.  PCA normals only stabilize with more in-plane
+    samples, and this removes the top-k selection that dominated 1M-point
+    normals (4–5 s → the streaming kernel's ~0.5 s).  Queries whose radius
+    under-covered (count < k) are re-solved with exact brute k-NN, so no
+    normal is ever estimated from fewer than min(k, N) points.  See
+    PARITY.md (round 4)."""
+    from ..ops.grid_hash import kth_distance_bound, quantized_kth_radius
+    from ..ops.pallas_radius import _on_tpu, radius_pca_pallas
+
+    n = c.shape[0]
+    stride = max(1, n // sample_size)
+    sample = c[::stride][:sample_size]
+    kth = np.asarray(kth_distance_bound(sample, c, k))
+    r_hat = quantized_kth_radius(kth)
+    grid = build_grid(np.asarray(c), r_hat)
+    r_q = _knn_target_radii(grid, q, k, sample, kth)
+    if _on_tpu():
+        cov, _, cnt = radius_pca_pallas(grid, q, r_q)
+    else:
+        cov, _, cnt = grid_radius_pca(grid, q, r_q)
+    normals = _normals_from_cov(cov, pre)
+    # exactness net (same contract as knn_auto): under-covered queries get a
+    # brute k-NN pass, padded to a pow2 bucket to avoid per-call recompiles
+    missing = np.asarray(cnt) < min(k, n)
+    if missing.any():
+        from ..ops.neighbors import knn
+
+        frac = float(missing.mean())
+        if frac > 0.10:
+            logger.warning(
+                "streaming k-NN normals net caught %.1f%% of %d queries "
+                "(adaptive radii undercover); density calibration is off "
+                "for this cloud",
+                100.0 * frac, len(missing),
+            )
+        miss = np.nonzero(missing)[0]
+        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
+        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
+        mj = jnp.asarray(miss_pad)
+        fix = knn(q[mj], c, k)
+        pre_m = None if pre is None else pre[mj]
+        fixed = _normals_from_neighborhoods(q[mj], c, fix, pre_m)
+        normals = normals.at[mj].set(fixed)
+    return normals
 
 
 @jax.jit
@@ -82,6 +167,10 @@ def compute_normals(
     c = jnp.asarray(cloud_points, jnp.float32)
     pre = None if pre_computed_normals is None else jnp.asarray(pre_computed_normals, jnp.float32)
     if k is not None:
+        if c.shape[0] >= AUTO_GRID_MIN_POINTS:
+            # streaming covariance with adaptive per-query radii: removes the
+            # top-k selection that dominated 1M-point normals (VERDICT r3 #3)
+            return _streaming_knn_normals(q, c, k, pre)
         return _normals_knn(q, c, k, pre)
     if c.shape[0] >= AUTO_GRID_MIN_POINTS:
         # fused path: covariance reduced over the candidate window directly —

@@ -556,6 +556,8 @@ def check_radius_contract(grid: HashGrid, radius) -> None:
     (``halo * cell_size``) — a smaller cell would silently truncate
     neighborhoods.  No-op for traced radii (in-jit call sites pass the same
     host floats their grids were built with)."""
+    if isinstance(radius, np.ndarray):
+        radius = float(np.max(radius)) if radius.size else 0.0
     if not isinstance(radius, (int, float, np.floating)):
         return
     cell = grid.cell_size_static
@@ -705,12 +707,17 @@ def _grid_radius_pca_jit(
 
     Returns ``(cov (Q, 3, 3), barycenter (Q, 3), count (Q,))`` with the
     reference's normalization (sum of centered outer products / count).
+
+    ``radius`` may be a scalar or a per-query ``(Q,)`` vector (adaptive
+    neighborhoods, e.g. the k-targeting normals route); every entry must obey
+    the grid's ``halo * cell_size`` coverage contract.
     """
     queries = jnp.asarray(queries, jnp.float32)
     q = queries.shape[0]
-    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    r2 = jnp.broadcast_to(jnp.asarray(radius, jnp.float32) ** 2, (q,))
 
-    def one_chunk(qc):
+    def one_chunk(args):
+        qc, r2c = args
         if grid.has_table:
             slots, valid = _compacted_slots(grid, qc)
         else:
@@ -718,7 +725,7 @@ def _grid_radius_pca_jit(
         cand = grid.packed_sorted[slots][..., :3]      # (C, W, 3)
         diff = cand - qc[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        m = (valid & (d2 <= r2)).astype(jnp.float32)
+        m = (valid & (d2 <= r2c[:, None])).astype(jnp.float32)
         count = jnp.sum(m, axis=-1)
         z = diff * m[..., None]
         mean_q = jnp.einsum("cwi->ci", z) / jnp.maximum(count, 1.0)[:, None]
@@ -731,7 +738,12 @@ def _grid_radius_pca_jit(
     n_chunks = -(-q // query_chunk)
     padded = n_chunks * query_chunk
     qpad = jnp.pad(queries, ((0, padded - q), (0, 0)))
-    cov, bary, count = jax.lax.map(one_chunk, qpad.reshape(n_chunks, query_chunk, 3))
+    r2pad = jnp.pad(r2, (0, padded - q))
+    cov, bary, count = jax.lax.map(
+        one_chunk,
+        (qpad.reshape(n_chunks, query_chunk, 3),
+         r2pad.reshape(n_chunks, query_chunk)),
+    )
     reshape = lambda x: x.reshape((padded,) + x.shape[2:])[:q]  # noqa: E731
     return reshape(cov), reshape(bary), reshape(count)
 
@@ -790,6 +802,16 @@ def kth_distance_bound(sample: jnp.ndarray, points: jnp.ndarray, k: int):
     return jnp.sqrt(jnp.maximum(-neg[:, -1], 0.0))
 
 
+def quantized_kth_radius(kth: np.ndarray) -> float:
+    """Search-radius bound from sampled k-th-neighbor distances: 1.5x the
+    99th percentile bounds the k-th neighbor for all but sparse-region
+    queries (max-based bounds blow the window up on a single outlier
+    sample); quantized to a 1.25-geometric grid so repeated similar clouds
+    reuse compiled query programs."""
+    raw = 1.5 * float(np.quantile(np.asarray(kth), 0.99))
+    return float(1.25 ** np.ceil(np.log(max(raw, 1e-12)) / np.log(1.25)))
+
+
 def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
     """k-NN that scales to large clouds: a brute-force pass on a small sample
     bounds the k-th neighbor distance, then the grid engine searches within
@@ -807,12 +829,7 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
     stride = max(1, n // sample_size)
     sample = points[::stride][:sample_size]
     kth = np.asarray(kth_distance_bound(sample, points, k))
-    # 1.5x the 99th-percentile sampled k-th distance bounds the k-th neighbor
-    # for all but sparse-region queries (max-based bounds blow the window up
-    # on a single outlier sample); quantize the radius to a 1.25-geometric
-    # grid so repeated similar clouds reuse compiled query programs.
-    raw = 1.5 * float(np.quantile(kth, 0.99))
-    radius = float(1.25 ** np.ceil(np.log(max(raw, 1e-12)) / np.log(1.25)))
+    radius = quantized_kth_radius(kth)
     grid = build_grid(points, radius)
     nbr = grid_radius_search(grid, queries, radius, k)
     # exactness net: queries whose k-th neighbor fell outside the bound get a

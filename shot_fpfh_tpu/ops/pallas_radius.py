@@ -91,10 +91,13 @@ def tile_table(packed: jnp.ndarray, n_feat: int = 8) -> jnp.ndarray:
     return out.reshape(nt, TILE, n_feat).transpose(0, 2, 1)
 
 
-def _pack_runs(grid: HashGrid, queries: jnp.ndarray, qb: int, run_tiles: int):
+def _pack_runs(grid: HashGrid, queries: jnp.ndarray, qb: int, run_tiles: int,
+               r2=None):
     """Returns (runs (blocks, QB, 32) int32, qpos (blocks, QB, 32) f32):
     runs lanes [3j..3j+2] = (tile_start, start_off, end_off); qpos lanes
-    0..2 = query xyz.  (Both padded to 128 lanes for Mosaic.)"""
+    0..2 = query xyz, lane 3 = per-query squared radius when ``r2`` is given
+    (scalar or (Q,); kernels that take a static radius ignore the lane).
+    (Both padded to 128 lanes for Mosaic.)"""
     q = queries.shape[0]
     blocks = -(-q // qb)
     start, end = _zcolumn_runs(grid, queries)            # (Q, 9)
@@ -108,17 +111,25 @@ def _pack_runs(grid: HashGrid, queries: jnp.ndarray, qb: int, run_tiles: int):
     # 128-lane layout: Mosaic only lowers VMEM blocks whose lane dim is a
     # full 128 tile (a 32-lane block fails memref slicing)
     lanes = jnp.pad(jnp.stack(cols, axis=1), ((0, 0), (0, 96)))
+    r2_lane = (jnp.zeros((q, 1), jnp.float32) if r2 is None
+               else jnp.broadcast_to(
+                   jnp.asarray(r2, jnp.float32), (q,))[:, None])
     qpos = jnp.concatenate(
-        [queries.astype(jnp.float32), jnp.zeros((q, 125), jnp.float32)], axis=1
+        [queries.astype(jnp.float32), r2_lane,
+         jnp.zeros((q, 124), jnp.float32)], axis=1
     )
     pad = blocks * qb - q
     return (jnp.pad(lanes, ((0, pad), (0, 0))).reshape(blocks, qb, 128),
             jnp.pad(qpos, ((0, pad), (0, 0))).reshape(blocks, qb, 128))
 
 
-def _pca_kernel(run_tiles, qb, r2, runs_ref, qpos_ref, table_ref, out_ref,
+def _pca_kernel(run_tiles, qb, runs_ref, qpos_ref, table_ref, out_ref,
                 scratch, sems, smem, smem_q, smem_sem):
-    """Accumulates count / Σdiff / Σdiff⊗diff per query (diff = p - q)."""
+    """Accumulates count / Σdiff / Σdiff⊗diff per query (diff = p - q).
+
+    The squared radius is read per query from qpos lane 3 (SMEM) — not a
+    static arg — so one compiled kernel serves any radius, including
+    per-query adaptive radii (the k-targeting normals route)."""
     cp = pltpu.make_async_copy(runs_ref.at[0], smem, smem_sem)
     cp.start()
     cp.wait()
@@ -147,6 +158,7 @@ def _pca_kernel(run_tiles, qb, r2, runs_ref, qpos_ref, table_ref, out_ref,
         qx = smem_q[q, 0]
         qy = smem_q[q, 1]
         qz = smem_q[q, 2]
+        r2 = smem_q[q, 3]  # per-query squared radius (qpos lane 3)
         # per-run [start, end) offsets broadcast into their lane segments
         seg_s = jnp.concatenate(
             [jnp.full((1, TILE), smem[q, 3 * j + 1], jnp.int32)
@@ -173,12 +185,12 @@ def _pca_kernel(run_tiles, qb, r2, runs_ref, qpos_ref, table_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r2", "run_tiles", "qb", "interpret")
+    jax.jit, static_argnames=("run_tiles", "qb", "interpret")
 )
-def _pca_call(runs, qpos, table, r2: float, run_tiles: int, qb: int,
+def _pca_call(runs, qpos, table, run_tiles: int, qb: int,
               interpret: bool):
     blocks = runs.shape[0]
-    kernel = functools.partial(_pca_kernel, run_tiles, qb, r2)
+    kernel = functools.partial(_pca_kernel, run_tiles, qb)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((blocks, qb, 16), jnp.float32),
@@ -210,6 +222,10 @@ def radius_pca_pallas(
     counterpart of ``grid_hash.grid_radius_pca`` (same contract: covariance
     with the reference's centered/count normalization, barycenter, count; ALL
     in-radius points contribute, no k cap).
+
+    ``radius`` may be a scalar or a per-query ``(Q,)`` vector; it rides in
+    qpos lane 3 rather than being baked into the compile, so one compiled
+    kernel serves every radius.
     """
     assert grid.halo == 1, "Pallas kernels stream 9 z-column runs (halo=1)"
     if not grid.has_table:
@@ -223,8 +239,9 @@ def radius_pca_pallas(
         -(-grid.packed_sorted.shape[0] // TILE),
     )
     table = tile_table(grid.packed_sorted[:, :3], 8)
-    runs, qpos = _pack_runs(grid, queries, qb, run_tiles)
-    out = _pca_call(runs, qpos, table, float(radius) ** 2, run_tiles, qb,
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    runs, qpos = _pack_runs(grid, queries, qb, run_tiles, r2=r2)
+    out = _pca_call(runs, qpos, table, run_tiles, qb,
                     interpret=not _on_tpu())
     out = out.reshape(-1, 16)[:q]
     count = out[:, 0]

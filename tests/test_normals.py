@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from shot_fpfh_tpu.models import (
@@ -95,6 +96,7 @@ def test_normals_radius_grid_branch(monkeypatch, rng):
     assert np.all(dots > 1 - 1e-4)
 
 
+@pytest.mark.slow
 def test_pca_features_grid_path_matches_brute(rng):
     """Above the auto-grid threshold the PCA feature functions switch to
     grid/window formulations; they must agree with the brute path."""
@@ -157,3 +159,86 @@ def test_plot_neighborhood_sizes_returns_histogram(rng, tmp_path):
     )
     assert counts.sum() == 300
     assert len(edges) == len(counts) + 1
+
+
+def test_grid_radius_pca_vector_radius(rng):
+    """Per-query radius vector: each row must equal a scalar-radius call."""
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
+
+    xy = rng.uniform(-3, 3, size=(2000, 2))
+    z = 0.3 * np.sin(1.2 * xy[:, 0]) * np.cos(0.8 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    grid = build_grid(pts, 0.8)
+    q = jnp.asarray(pts[:64])
+    radii = np.asarray(rng.uniform(0.2, 0.8, size=64), np.float32)
+    cov_v, bary_v, cnt_v = grid_radius_pca(grid, q, radii)
+    for r in np.unique(np.round(radii, 2))[:4]:
+        rows = np.nonzero(np.round(radii, 2) == r)[0]
+        cov_s, bary_s, cnt_s = grid_radius_pca(grid, q, float(radii[rows[0]]))
+        np.testing.assert_array_equal(
+            np.asarray(cnt_v)[rows], np.asarray(cnt_s)[rows]
+        )
+        np.testing.assert_allclose(
+            np.asarray(cov_v)[rows], np.asarray(cov_s)[rows], atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_radius_pca_pallas_vector_radius(rng):
+    """The Pallas streaming kernel must honor per-query radii (qpos lane 3)."""
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
+    from shot_fpfh_tpu.ops.pallas_radius import radius_pca_pallas
+
+    xy = rng.uniform(-2, 2, size=(1200, 2))
+    z = 0.3 * np.sin(1.2 * xy[:, 0]) * np.cos(0.8 * xy[:, 1])
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    grid = build_grid(pts, 0.7)
+    q = jnp.asarray(pts[:32])
+    radii = np.asarray(rng.uniform(0.15, 0.7, size=32), np.float32)
+    cov_p, bary_p, cnt_p = radius_pca_pallas(grid, q, radii)
+    cov_x, bary_x, cnt_x = grid_radius_pca(grid, q, radii)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    np.testing.assert_allclose(np.asarray(bary_p), np.asarray(bary_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_x), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_streaming_knn_normals_matches_exact(monkeypatch, rng):
+    """The large-cloud k-mode route (streaming covariance with k-targeting
+    adaptive radii, VERDICT r3 #3) must agree with exact k-NN PCA normals up
+    to the documented neighborhood-superset deviation."""
+    import shot_fpfh_tpu.models.normals as nm
+
+    xy = rng.uniform(-6, 6, size=(8000, 2))
+    z = 0.5 * np.sin(1.1 * xy[:, 0]) * np.cos(0.9 * xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(8000, 3))).astype(np.float32)
+    q = pts[:512]
+    exact = np.asarray(nm._normals_knn(jnp.asarray(q), jnp.asarray(pts), 20, None))
+    monkeypatch.setattr(nm, "AUTO_GRID_MIN_POINTS", 1000)
+    ours = np.asarray(nm.compute_normals(q, pts, k=20))
+    np.testing.assert_allclose(np.linalg.norm(ours, axis=1), 1.0, atol=1e-4)
+    dots = np.abs(np.sum(ours * exact, axis=1))
+    assert dots.mean() > 0.998 and np.quantile(dots, 0.02) > 0.98, dots.min()
+
+
+@pytest.mark.slow
+def test_streaming_knn_normals_net_catches_sparse(rng):
+    """Queries in regions the density calibration under-covers must be
+    re-solved exactly (count < k -> brute k-NN), keeping the k-NN contract."""
+    import shot_fpfh_tpu.models.normals as nm
+
+    # dense sheet + a handful of far-flung sparse points: the calibration
+    # fits the dense sheet, so sparse-region queries under-cover
+    xy = rng.uniform(-2, 2, size=(4000, 2))
+    dense = np.column_stack([xy, 0.1 * np.sin(xy[:, 0])]).astype(np.float32)
+    sparse = rng.uniform(8, 12, size=(40, 3)).astype(np.float32)
+    pts = np.concatenate([dense, sparse]).astype(np.float32)
+    q = np.concatenate([dense[:100], sparse[:20]])
+    ours = np.asarray(nm._streaming_knn_normals(
+        jnp.asarray(q), jnp.asarray(pts), 15, None
+    ))
+    exact = np.asarray(nm._normals_knn(jnp.asarray(q), jnp.asarray(pts), 15, None))
+    # sparse-region rows went through the exact net: identical up to sign
+    dots = np.abs(np.sum(ours[100:] * exact[100:], axis=1))
+    assert np.all(dots > 1 - 1e-4), dots.min()

@@ -36,6 +36,24 @@ def test_radius_pca_pallas_matches_xla_on_tpu():
     np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_x), atol=1e-4)
 
 
+def test_radius_pca_pallas_vector_radius_on_tpu():
+    # per-query radii ride in qpos lane 3 (SMEM scalar read) — verify the
+    # Mosaic lowering honors them like the interpreter does
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
+    from shot_fpfh_tpu.ops.pallas_radius import radius_pca_pallas
+
+    pts, _ = _cloud(n=12000, seed=5)
+    grid = build_grid(pts, 0.7)
+    q = jnp.asarray(pts[:1024])
+    rng = np.random.default_rng(9)
+    radii = np.asarray(rng.uniform(0.15, 0.7, size=1024), np.float32)
+    cov_p, bary_p, cnt_p = radius_pca_pallas(grid, q, radii)
+    cov_x, bary_x, cnt_x = grid_radius_pca(grid, q, radii)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    np.testing.assert_allclose(np.asarray(bary_p), np.asarray(bary_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_x), atol=1e-4)
+
+
 def test_radius_search_pallas_matches_xla_on_tpu():
     from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_search
     from shot_fpfh_tpu.ops.pallas_radius import grid_radius_search_pallas
