@@ -207,8 +207,10 @@ def main(argv=None) -> int:
         # SHOT + nearest/ratio-matching configuration; anything else stages
         if kp_cfg.selection_algorithm != "subsampling" or not kp_cfg.neighborhood_size:
             reason = "keypoint selection must be 'subsampling' with a neighborhood_size"
-        elif desc_cfg.descriptor_choice != "shot_single_scale":
-            reason = "descriptor must be shot_single_scale"
+        elif desc_cfg.descriptor_choice not in (
+            "shot_single_scale", "shot_bi_scale", "fpfh"
+        ):
+            reason = "descriptor must be shot_single_scale/shot_bi_scale/fpfh"
         elif match_cfg.matching_algorithm not in ("simple", "ratio", "double"):
             reason = "matching must be simple/ratio/double"
         elif mesh is not None:
@@ -228,6 +230,9 @@ def main(argv=None) -> int:
             keypoint_voxel=kp_cfg.neighborhood_size,
             icp_voxel=icp_cfg.voxel_size,
             radius=desc_cfg.radius,
+            descriptor_choice=desc_cfg.descriptor_choice,
+            phi=desc_cfg.phi,
+            fpfh_n_bins=desc_cfg.fpfh_n_bins,
             ratio_threshold=ratio,
             ransac_threshold=ransac_cfg.max_inliers_distance,
             d_max=icp_cfg.d_max,

@@ -431,6 +431,9 @@ class RegistrationPipeline:
         keypoint_voxel: float,
         icp_voxel: float,
         radius: float,
+        descriptor_choice: str = "shot_single_scale",
+        phi: float = 3.0,
+        fpfh_n_bins: int = 5,
         ratio_threshold: float = 0.9,
         ransac_threshold: float = 0.3,
         d_max: float = 0.3,
@@ -444,9 +447,13 @@ class RegistrationPipeline:
     ):
         """Run the whole registration as ONE XLA program
         (``registration.fused.register_pair``): keypoints by grid
-        subsampling, SHOT descriptors, ratio matching, RANSAC and ICP fused
-        into a single device program with zero host round-trips — the
+        subsampling, SHOT/FPFH descriptors, ratio matching, RANSAC and ICP
+        fused into a single device program with zero host round-trips — the
         production serving path the CLI exposes as ``--fused``.
+
+        ``descriptor_choice`` covers the reference's default configs:
+        ``shot_single_scale``, ``shot_bi_scale`` (frames at ``radius``, bins
+        at ``radius * phi``, mirroring ``compute_descriptors``), and ``fpfh``.
 
         Returns the :class:`~shot_fpfh_tpu.registration.fused.FusedResult`.
         The keypoint indices the fused program derived (grid subsampling at
@@ -454,10 +461,24 @@ class RegistrationPipeline:
         metrics see the same keypoints as the staged path would."""
         from .registration.fused import register_pair
 
+        desc_kwargs = {}
+        desc_radius = radius
+        if descriptor_choice == "shot_bi_scale":
+            desc_kwargs["rf_radius"] = radius
+            desc_radius = radius * phi
+        elif descriptor_choice == "fpfh":
+            desc_kwargs["descriptor"] = "fpfh"
+            desc_kwargs["fpfh_n_bins"] = fpfh_n_bins
+        elif descriptor_choice != "shot_single_scale":
+            raise ValueError(
+                f"run_fused does not cover descriptor_choice={descriptor_choice!r}"
+            )
+
         self.metrics.start("fused")
         res = register_pair(
             self.scan, self.scan_normals, self.ref, self.ref_normals,
-            keypoint_voxel=keypoint_voxel, icp_voxel=icp_voxel, radius=radius,
+            keypoint_voxel=keypoint_voxel, icp_voxel=icp_voxel,
+            radius=desc_radius,
             key=jax.random.key(seed),
             ratio_threshold=ratio_threshold,
             ransac_threshold=ransac_threshold,
@@ -465,7 +486,7 @@ class RegistrationPipeline:
             k_max=self.k_max_descriptor,
             min_neighborhood_size=min_neighborhood_size,
             n_draws=n_draws, draw_size=draw_size, max_iter=max_iter,
-            point_to_plane=point_to_plane,
+            point_to_plane=point_to_plane, **desc_kwargs,
         )
         jax.block_until_ready(res.icp_transform.rotation)
         self.metrics.stop(

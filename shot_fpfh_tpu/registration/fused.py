@@ -50,36 +50,77 @@ class FusedResult(NamedTuple):
     ref_keypoint_idx: np.ndarray | None = None
 
 
-def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None):
+def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None,
+          rf_radius=None):
+    """Single-scale SHOT, or bi-scale when ``rf_radius`` is given (local
+    frames from the ``rf_radius`` neighborhood, bins over ``radius`` — the
+    reference's ``compute_descriptor_bi_scale``, shot_parallelization.py)."""
     if grid is not None:
         # grid path: grouped feature-planar window fetch, no top-k — the
         # exact uncapped radius neighborhoods at ~2x the selected-k
-        # throughput (requires the grid built with extras=normals)
+        # throughput (requires the grid built with extras=normals and a cell
+        # covering max(radius, rf_radius))
         from ..models.shot import shot_from_window_ff
         from ..ops.grid_hash import window_distances
 
         vals, d, win_ok, _rows = window_distances(grid, kp)
         ok = win_ok & (d <= radius) & valid[:, None]
+        rf_dist_inf = None
+        if rf_radius is not None:
+            ok_rf = win_ok & (d <= rf_radius) & valid[:, None]
+            rf_dist_inf = jnp.where(ok_rf, d, jnp.inf)
         desc, _rfs = shot_from_window_ff(
             kp, vals, jnp.where(ok, d, jnp.inf), radius,
             normalize=True, min_neighborhood_size=min_nb,
+            rf_dist_inf=rf_dist_inf,
+            rf_radius=rf_radius if rf_dist_inf is not None else None,
         )
         return desc
-    nbr = radius_search(kp, sup, radius, k_max)
-    mask = nbr.mask & valid[:, None]
+    search_r = radius if rf_radius is None else jnp.maximum(radius, rf_radius)
+    nbr = radius_search(kp, sup, search_r, k_max)
+    mask = nbr.mask & valid[:, None] & (nbr.dist <= radius)
     nb_pts, nb_nrm = sup[nbr.idx], nrm[nbr.idx]
-    rfs = local_reference_frames(kp, nb_pts, mask, radius)
+    if rf_radius is None:
+        rfs = local_reference_frames(kp, nb_pts, mask, radius)
+    else:
+        mask_rf = nbr.mask & valid[:, None] & (nbr.dist <= rf_radius)
+        rfs = local_reference_frames(kp, nb_pts, mask_rf, rf_radius)
     return shot_from_neighborhoods(
         kp, nb_pts, nb_nrm, mask, rfs, radius,
         normalize=True, min_neighborhood_size=min_nb,
     )
 
 
+def _fpfh(kp_idx, valid, sup, nrm, radius, k_max, n_bins, decorrelated,
+          grid=None):
+    """FPFH leg of the fused program (reference fpfh.py:16-117): SPFH over
+    every support point, then keypoint aggregation.  ``kp_idx`` are
+    SORTED-order indices when ``grid`` is given (the FPFH grid's permutation)
+    and original cloud indices otherwise; invalid (padding) rows zero out so
+    matching's nonzero-row convention treats them like empty SHOT rows."""
+    if grid is not None:
+        from ..models.fpfh import _fpfh_window_aggregate, _spfh_window_sorted
+
+        spfh_sorted = _spfh_window_sorted(grid, radius, n_bins, decorrelated)
+        desc = _fpfh_window_aggregate(grid, spfh_sorted, kp_idx, radius)
+    else:
+        from ..models.fpfh import _fpfh_aggregate, _spfh_from_values
+        from ..ops.grid_hash import radius_search_with_values_auto
+
+        nbr, vals = radius_search_with_values_auto(sup, sup, nrm, radius, k_max)
+        spfh = _spfh_from_values(
+            sup, nrm, vals[..., :3], vals[..., 3:6], nbr.dist, nbr.mask,
+            radius, n_bins, decorrelated,
+        )
+        desc = _fpfh_aggregate(spfh, nbr.idx, nbr.dist, nbr.mask, kp_idx)
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k_max", "min_neighborhood_size", "n_draws", "draw_size", "max_iter",
-        "point_to_plane",
+        "point_to_plane", "descriptor", "fpfh_n_bins", "fpfh_decorrelated",
     ),
 )
 def fused_registration(
@@ -109,12 +150,30 @@ def fused_registration(
     scan_grid=None,
     ref_grid=None,
     ref_icp_grid=None,
+    descriptor: str = "shot",      # "shot" | "fpfh"
+    rf_radius=None,                # bi-scale SHOT: frames from this radius
+    fpfh_n_bins: int = 5,
+    fpfh_decorrelated: bool = False,
+    scan_kp_idx=None,              # FPFH: keypoint indices (sorted order
+    ref_kp_idx=None,               # when the fpfh grids are given)
+    scan_fpfh_grid=None,
+    ref_fpfh_grid=None,
 ) -> FusedResult:
     # ---- descriptors ------------------------------------------------------
-    scan_desc = _shot(scan_kp, scan_kp_valid, scan_support, scan_normals,
-                      radius, k_max, min_neighborhood_size, grid=scan_grid)
-    ref_desc = _shot(ref_kp, ref_kp_valid, ref_support, ref_normals,
-                     radius, k_max, min_neighborhood_size, grid=ref_grid)
+    if descriptor == "fpfh":
+        scan_desc = _fpfh(scan_kp_idx, scan_kp_valid, scan_support,
+                          scan_normals, radius, k_max, fpfh_n_bins,
+                          fpfh_decorrelated, grid=scan_fpfh_grid)
+        ref_desc = _fpfh(ref_kp_idx, ref_kp_valid, ref_support, ref_normals,
+                         radius, k_max, fpfh_n_bins, fpfh_decorrelated,
+                         grid=ref_fpfh_grid)
+    else:
+        scan_desc = _shot(scan_kp, scan_kp_valid, scan_support, scan_normals,
+                          radius, k_max, min_neighborhood_size,
+                          grid=scan_grid, rf_radius=rf_radius)
+        ref_desc = _shot(ref_kp, ref_kp_valid, ref_support, ref_normals,
+                         radius, k_max, min_neighborhood_size,
+                         grid=ref_grid, rf_radius=rf_radius)
 
     # ---- ratio matching ---------------------------------------------------
     ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
@@ -222,6 +281,10 @@ def register_pair(
     """Host-facing wrapper: keypoint selection + ICP subsampling on device
     (dynamic sizes), padding to stable buckets, then the single fused program.
 
+    ``descriptor="fpfh"`` / ``rf_radius=...`` (bi-scale SHOT) route the
+    descriptor leg accordingly — the reference's default descriptor configs
+    all compile into the one program (VERDICT r3 #6).
+
     Above ``AUTO_GRID_MIN_POINTS`` the support clouds get grid-hash engines
     (descriptor search + ICP 1-NN) so the fused program scales to ~1M-point
     clouds on one chip."""
@@ -247,13 +310,45 @@ def register_pair(
     ref_kp, ref_kp_valid = pad(ref32[ref_kp_idx], pad_multiple)
     scan_sub, scan_sub_valid = pad(scan32[grid_subsample(scan32, icp_voxel)], pad_multiple)
 
+    descriptor = fused_kwargs.get("descriptor", "shot")
+    rf_radius = fused_kwargs.get("rf_radius")
+    # the SHOT window must cover both the bin radius and the bi-scale frame
+    # radius; FPFH's grid convention is cell = radius/2 with halo=2
+    shot_cell = max(radius, rf_radius) if rf_radius is not None else radius
+
     grids = {}
-    if len(scan32) >= AUTO_GRID_MIN_POINTS:
-        grids["scan_grid"] = build_grid(scan32, radius,
-                                        extras=np.asarray(scan_normals, np.float32))
+    if descriptor == "fpfh":
+        # FPFH aggregates SPFH at keypoint INDICES; sorted order under a grid
+        if len(scan32) >= AUTO_GRID_MIN_POINTS:
+            g = build_grid(scan32, radius / 2,
+                           extras=np.asarray(scan_normals, np.float32), halo=2)
+            grids["scan_fpfh_grid"] = g
+            inv = np.zeros(len(scan32), np.int32)
+            inv[np.asarray(g.orig_idx)] = np.arange(len(scan32), dtype=np.int32)
+            kp_for_fused = inv[scan_kp_idx]
+        else:
+            kp_for_fused = scan_kp_idx
+        fused_kwargs["scan_kp_idx"] = jnp.asarray(
+            pad(kp_for_fused.astype(np.int32), pad_multiple)[0])
+        if len(ref32) >= AUTO_GRID_MIN_POINTS:
+            g = build_grid(ref32, radius / 2,
+                           extras=np.asarray(ref_normals, np.float32), halo=2)
+            grids["ref_fpfh_grid"] = g
+            inv = np.zeros(len(ref32), np.int32)
+            inv[np.asarray(g.orig_idx)] = np.arange(len(ref32), dtype=np.int32)
+            kp_for_fused = inv[ref_kp_idx]
+        else:
+            kp_for_fused = ref_kp_idx
+        fused_kwargs["ref_kp_idx"] = jnp.asarray(
+            pad(kp_for_fused.astype(np.int32), pad_multiple)[0])
+    else:
+        if len(scan32) >= AUTO_GRID_MIN_POINTS:
+            grids["scan_grid"] = build_grid(
+                scan32, shot_cell, extras=np.asarray(scan_normals, np.float32))
+        if len(ref32) >= AUTO_GRID_MIN_POINTS:
+            grids["ref_grid"] = build_grid(
+                ref32, shot_cell, extras=np.asarray(ref_normals, np.float32))
     if len(ref32) >= AUTO_GRID_MIN_POINTS:
-        grids["ref_grid"] = build_grid(ref32, radius,
-                                       extras=np.asarray(ref_normals, np.float32))
         # pin d_max once so the ICP grid's cell size (its exactness bound)
         # and the fused program always agree
         d_max = fused_kwargs.setdefault("d_max", 0.3)
