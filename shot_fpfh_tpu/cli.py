@@ -203,16 +203,22 @@ def main(argv=None) -> int:
 
     use_fused = False
     if compute_cfg.fused:
-        # the fused program covers the subsampling-keypoint + single-scale
-        # SHOT + nearest/ratio-matching configuration; anything else stages
+        # the fused program covers subsampling keypoints + every reference
+        # descriptor config (single/bi/multi-scale SHOT, FPFH) with
+        # nearest/ratio matching (multiscale: plain min-over-scales top-1)
+        # on a single chip; anything else stages
         if kp_cfg.selection_algorithm != "subsampling" or not kp_cfg.neighborhood_size:
             reason = "keypoint selection must be 'subsampling' with a neighborhood_size"
         elif desc_cfg.descriptor_choice not in (
-            "shot_single_scale", "shot_bi_scale", "fpfh"
+            "shot_single_scale", "shot_bi_scale", "shot_multiscale", "fpfh"
         ):
-            reason = "descriptor must be shot_single_scale/shot_bi_scale/fpfh"
+            reason = "descriptor must be shot_single_scale/shot_bi_scale/shot_multiscale/fpfh"
         elif match_cfg.matching_algorithm not in ("simple", "ratio", "double"):
             reason = "matching must be simple/ratio/double"
+        elif (desc_cfg.descriptor_choice == "shot_multiscale"
+              and match_cfg.matching_algorithm != "simple"):
+            reason = ("multiscale matching in the fused program is plain "
+                      "min-over-scales top-1; use --matching_algorithm simple")
         elif mesh is not None:
             reason = "the fused program is single-chip (drop --n_devices)"
         elif compute_cfg.state_cache:
@@ -232,6 +238,7 @@ def main(argv=None) -> int:
             radius=desc_cfg.radius,
             descriptor_choice=desc_cfg.descriptor_choice,
             phi=desc_cfg.phi,
+            n_scales=desc_cfg.n_scales,
             fpfh_n_bins=desc_cfg.fpfh_n_bins,
             ratio_threshold=ratio,
             ransac_threshold=ransac_cfg.max_inliers_distance,

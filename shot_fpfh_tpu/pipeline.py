@@ -433,6 +433,7 @@ class RegistrationPipeline:
         radius: float,
         descriptor_choice: str = "shot_single_scale",
         phi: float = 3.0,
+        n_scales: int = 2,
         fpfh_n_bins: int = 5,
         ratio_threshold: float = 0.9,
         ransac_threshold: float = 0.3,
@@ -453,7 +454,9 @@ class RegistrationPipeline:
 
         ``descriptor_choice`` covers the reference's default configs:
         ``shot_single_scale``, ``shot_bi_scale`` (frames at ``radius``, bins
-        at ``radius * phi``, mirroring ``compute_descriptors``), and ``fpfh``.
+        at ``radius * phi``), ``shot_multiscale`` (scales ``radius * phi**i``
+        with shared first-scale frames and min-over-scales matching), and
+        ``fpfh`` — all mirroring ``compute_descriptors``.
 
         Returns the :class:`~shot_fpfh_tpu.registration.fused.FusedResult`.
         The keypoint indices the fused program derived (grid subsampling at
@@ -466,6 +469,11 @@ class RegistrationPipeline:
         if descriptor_choice == "shot_bi_scale":
             desc_kwargs["rf_radius"] = radius
             desc_radius = radius * phi
+        elif descriptor_choice in ("shot_multiscale", "shot_multi_scale"):
+            desc_kwargs["descriptor"] = "shot_multiscale"
+            desc_kwargs["ms_radii"] = tuple(
+                float(radius * phi**i) for i in range(n_scales)
+            )
         elif descriptor_choice == "fpfh":
             desc_kwargs["descriptor"] = "fpfh"
             desc_kwargs["fpfh_n_bins"] = fpfh_n_bins

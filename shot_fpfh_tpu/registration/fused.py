@@ -51,10 +51,12 @@ class FusedResult(NamedTuple):
 
 
 def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None,
-          rf_radius=None):
+          rf_radius=None, local_rfs=None, return_rfs=False):
     """Single-scale SHOT, or bi-scale when ``rf_radius`` is given (local
     frames from the ``rf_radius`` neighborhood, bins over ``radius`` — the
-    reference's ``compute_descriptor_bi_scale``, shot_parallelization.py)."""
+    reference's ``compute_descriptor_bi_scale``, shot_parallelization.py).
+    ``local_rfs``/``return_rfs`` thread shared frames across multiscale
+    scales (reference shot_parallelization.py:241-312)."""
     if grid is not None:
         # grid path: grouped feature-planar window fetch, no top-k — the
         # exact uncapped radius neighborhoods at ~2x the selected-k
@@ -66,29 +68,33 @@ def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None,
         vals, d, win_ok, _rows = window_distances(grid, kp)
         ok = win_ok & (d <= radius) & valid[:, None]
         rf_dist_inf = None
-        if rf_radius is not None:
+        if rf_radius is not None and local_rfs is None:
             ok_rf = win_ok & (d <= rf_radius) & valid[:, None]
             rf_dist_inf = jnp.where(ok_rf, d, jnp.inf)
-        desc, _rfs = shot_from_window_ff(
+        desc, rfs = shot_from_window_ff(
             kp, vals, jnp.where(ok, d, jnp.inf), radius,
             normalize=True, min_neighborhood_size=min_nb,
+            local_rfs=local_rfs,
             rf_dist_inf=rf_dist_inf,
             rf_radius=rf_radius if rf_dist_inf is not None else None,
         )
-        return desc
+        return (desc, rfs) if return_rfs else desc
     search_r = radius if rf_radius is None else jnp.maximum(radius, rf_radius)
     nbr = radius_search(kp, sup, search_r, k_max)
     mask = nbr.mask & valid[:, None] & (nbr.dist <= radius)
     nb_pts, nb_nrm = sup[nbr.idx], nrm[nbr.idx]
-    if rf_radius is None:
+    if local_rfs is not None:
+        rfs = local_rfs
+    elif rf_radius is None:
         rfs = local_reference_frames(kp, nb_pts, mask, radius)
     else:
         mask_rf = nbr.mask & valid[:, None] & (nbr.dist <= rf_radius)
         rfs = local_reference_frames(kp, nb_pts, mask_rf, rf_radius)
-    return shot_from_neighborhoods(
+    desc = shot_from_neighborhoods(
         kp, nb_pts, nb_nrm, mask, rfs, radius,
         normalize=True, min_neighborhood_size=min_nb,
     )
+    return (desc, rfs) if return_rfs else desc
 
 
 def _fpfh(kp_idx, valid, sup, nrm, radius, k_max, n_bins, decorrelated,
@@ -121,6 +127,7 @@ def _fpfh(kp_idx, valid, sup, nrm, radius, k_max, n_bins, decorrelated,
     static_argnames=(
         "k_max", "min_neighborhood_size", "n_draws", "draw_size", "max_iter",
         "point_to_plane", "descriptor", "fpfh_n_bins", "fpfh_decorrelated",
+        "ms_radii",
     ),
 )
 def fused_registration(
@@ -150,7 +157,7 @@ def fused_registration(
     scan_grid=None,
     ref_grid=None,
     ref_icp_grid=None,
-    descriptor: str = "shot",      # "shot" | "fpfh"
+    descriptor: str = "shot",      # "shot" | "fpfh" | "shot_multiscale"
     rf_radius=None,                # bi-scale SHOT: frames from this radius
     fpfh_n_bins: int = 5,
     fpfh_decorrelated: bool = False,
@@ -158,8 +165,9 @@ def fused_registration(
     ref_kp_idx=None,               # when the fpfh grids are given)
     scan_fpfh_grid=None,
     ref_fpfh_grid=None,
+    ms_radii=None,                 # multiscale: static tuple of scale radii
 ) -> FusedResult:
-    # ---- descriptors ------------------------------------------------------
+    # ---- descriptors + matching -------------------------------------------
     if descriptor == "fpfh":
         scan_desc = _fpfh(scan_kp_idx, scan_kp_valid, scan_support,
                           scan_normals, radius, k_max, fpfh_n_bins,
@@ -167,6 +175,26 @@ def fused_registration(
         ref_desc = _fpfh(ref_kp_idx, ref_kp_valid, ref_support, ref_normals,
                          radius, k_max, fpfh_n_bins, fpfh_decorrelated,
                          grid=ref_fpfh_grid)
+    elif descriptor == "shot_multiscale":
+        # per-scale SHOT with the first (smallest-radius) scale's frames
+        # shared (reference shot_parallelization.py:241-312); the window is
+        # fetched ONCE per cloud at the largest radius and every scale masks
+        # it — cheaper than the staged per-scale re-fetch
+        def ms_stack(kp, kp_valid, sup, nrm, grid):
+            descs, rfs = [], None
+            for r in ms_radii:
+                d_s, rfs_s = _shot(kp, kp_valid, sup, nrm, r, k_max,
+                                   min_neighborhood_size, grid=grid,
+                                   local_rfs=rfs, return_rfs=True)
+                if rfs is None:
+                    rfs = rfs_s
+                descs.append(d_s)
+            return jnp.stack(descs)          # (S, Q, 352)
+
+        scan_desc = ms_stack(scan_kp, scan_kp_valid, scan_support,
+                             scan_normals, scan_grid)
+        ref_desc = ms_stack(ref_kp, ref_kp_valid, ref_support, ref_normals,
+                            ref_grid)
     else:
         scan_desc = _shot(scan_kp, scan_kp_valid, scan_support, scan_normals,
                           radius, k_max, min_neighborhood_size,
@@ -175,16 +203,25 @@ def fused_registration(
                          radius, k_max, min_neighborhood_size,
                          grid=ref_grid, rf_radius=rf_radius)
 
-    # ---- ratio matching ---------------------------------------------------
-    ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
-    d2 = descriptor_sq_dists(scan_desc, ref_desc)
-    d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
-    nn_idx, d1_sq, d2_sq = top2_rows(d2)
-    d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))        # inf rows stay inf
-    dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
-    scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
-    ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
-    valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
+    if descriptor == "shot_multiscale":
+        # min-over-scales top-1 ("infinite-norm proximity"); validity by the
+        # sentinel, like the staged multiscale branch of match_descriptors
+        from .matching import MS_MAX_VAL, multiscale_top1
+
+        nn_idx, ms_dist = multiscale_top1(scan_desc, ref_desc)
+        scan_ok = jnp.any(scan_desc[0] != 0, axis=1) & scan_kp_valid
+        valid_match = scan_ok & (ms_dist < MS_MAX_VAL)
+    else:
+        # ---- ratio matching ------------------------------------------------
+        ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
+        d2 = descriptor_sq_dists(scan_desc, ref_desc)
+        d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
+        nn_idx, d1_sq, d2_sq = top2_rows(d2)
+        d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))        # inf rows stay inf
+        dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
+        scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
+        ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
+        valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
     n_matches = jnp.sum(valid_match)
 
     src = scan_kp                      # (Qs, 3)
@@ -312,9 +349,13 @@ def register_pair(
 
     descriptor = fused_kwargs.get("descriptor", "shot")
     rf_radius = fused_kwargs.get("rf_radius")
-    # the SHOT window must cover both the bin radius and the bi-scale frame
-    # radius; FPFH's grid convention is cell = radius/2 with halo=2
+    ms_radii = fused_kwargs.get("ms_radii")
+    # the SHOT window must cover the largest radius any scale bins over
+    # (bi-scale frame radius / every multiscale radius); FPFH's grid
+    # convention is cell = radius/2 with halo=2
     shot_cell = max(radius, rf_radius) if rf_radius is not None else radius
+    if ms_radii is not None:
+        shot_cell = max(ms_radii)
 
     grids = {}
     if descriptor == "fpfh":

@@ -375,7 +375,7 @@ def test_cli_fused_fallback_unsupported_config(tmp_path, rng, caplog):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("choice", ["fpfh", "shot_bi_scale"])
+@pytest.mark.parametrize("choice", ["fpfh", "shot_bi_scale", "shot_multiscale"])
 def test_cli_fused_fpfh_and_bi_scale(tmp_path, rng, caplog, choice):
     """--fused covers the reference's other default descriptor configs
     (VERDICT r3 #6): FPFH and bi-scale SHOT run through the single program
@@ -406,8 +406,10 @@ def test_cli_fused_fpfh_and_bi_scale(tmp_path, rng, caplog, choice):
             "--phi", "1.5",
             "--min_neighborhood_size", "5",
             "--k_max_descriptor", "256",
-            "--matching_algorithm", "ratio",
+            "--matching_algorithm",
+            "simple" if choice == "shot_multiscale" else "ratio",
             "--reject_threshold", "0.95",
+            "--n_scales", "2",
             "--n_draws", "1500",
             "--max_inliers_distance", "0.1",
             "--d_max", "0.3", "--voxel_size", "0.1",
@@ -424,7 +426,7 @@ def test_cli_fused_fpfh_and_bi_scale(tmp_path, rng, caplog, choice):
     p = pl.RegistrationPipeline(scan=scan, scan_normals=scan_n, ref=ref,
                                 ref_normals=ref_n, k_max_descriptor=256)
     res = p.run_fused(keypoint_voxel=0.25, icp_voxel=0.1, radius=0.4,
-                      descriptor_choice=choice, phi=1.5,
+                      descriptor_choice=choice, phi=1.5, n_scales=2,
                       ratio_threshold=0.95, ransac_threshold=0.1, d_max=0.3,
                       rms_threshold=1e-4, min_neighborhood_size=5,
                       n_draws=1500, max_iter=40)
@@ -452,3 +454,35 @@ def test_fused_fpfh_descriptor_leg_matches_staged(rng):
                              jnp.asarray(pts), jnp.asarray(nrm), 0.5, 512,
                              5, False))
     np.testing.assert_allclose(fused, staged, atol=1e-4)
+
+
+def test_fused_multiscale_descriptor_leg_matches_staged(rng):
+    """The fused multiscale leg (one window fetch, shared first-scale frames)
+    must match the staged ShotComputer.compute_descriptor_multiscale."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.models import compute_normals as _cn
+    from shot_fpfh_tpu.models.shot import ShotComputer
+    from shot_fpfh_tpu.registration.fused import _shot
+
+    pts = bumpy_cloud(1500, rng).astype(np.float32)
+    nrm = np.asarray(_cn(pts, pts, k=20))
+    kp = pts[rng.choice(1500, 96, replace=False)]
+    radii = [0.4, 0.64]
+
+    comp = ShotComputer(k_max=1024, min_neighborhood_size=5,
+                        share_local_rfs=True)
+    staged = np.asarray(comp.compute_descriptor_multiscale(
+        pts, nrm, kp, radii=radii, voxel_sizes=None
+    )).reshape(96, 2, 352).transpose(1, 0, 2)
+
+    descs, rfs = [], None
+    for r in radii:
+        d_s, rfs_s = _shot(jnp.asarray(kp), jnp.ones(96, bool),
+                           jnp.asarray(pts), jnp.asarray(nrm), r, 1024, 5,
+                           local_rfs=rfs, return_rfs=True)
+        if rfs is None:
+            rfs = rfs_s
+        descs.append(np.asarray(d_s))
+    fused = np.stack(descs)
+    np.testing.assert_allclose(fused, staged, atol=2e-3)
