@@ -74,7 +74,8 @@ class HashGrid:
                  window_cap: int, col_cap: int = 0, halo: int = 1,
                  cell_size_static: float | None = None,
                  group_cap: int = 0, group_cap16: int = 0,
-                 xyrow_group_cap: int = 0, use_xyrow: bool = False):
+                 xyrow_group_cap: int = 0, use_xyrow: bool = False,
+                 xyrow_group_cap16: int = 0, xyrow_group_cap32: int = 0):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -99,6 +100,10 @@ class HashGrid:
         self.xyrow_group_cap = xyrow_group_cap  # static: exact group cap of
                                             # the 2h+1 xy-row runs (full-z
                                             # columns); 0 = not computed
+        self.xyrow_group_cap16 = xyrow_group_cap16  # same, G=16 groups (the
+        self.xyrow_group_cap32 = xyrow_group_cap32  # gather is INDEX-bound,
+                                            # so wider groups cut its cost
+                                            # ~G/8x for ~the same bytes)
         self.use_xyrow = use_xyrow          # static: the grouped gather uses
                                             # 2h+1 xy-row runs instead of
                                             # (2h+1)^2 z-column runs — chosen
@@ -119,7 +124,8 @@ class HashGrid:
         return children, (self.cell_cap, self.has_table, self.window_cap,
                           self.col_cap, self.halo, self.cell_size_static,
                           self.group_cap, self.group_cap16,
-                          self.xyrow_group_cap, self.use_xyrow)
+                          self.xyrow_group_cap, self.use_xyrow,
+                          self.xyrow_group_cap16, self.xyrow_group_cap32)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -153,6 +159,28 @@ def _cell_starts_device(ids_sorted: jnp.ndarray, padded_len: int) -> jnp.ndarray
 
 
 WINDOW_GROUP = 8  # row-group size of the grouped feature-planar gather
+
+# Call-time override for the production window fetch's group size.  The
+# gather is INDEX-bound (~278M idx/s at every row width measured, 32-256 B),
+# so G=16/32 cut its index count 2/4x for a few % more straddle lanes —
+# worth it IF the index rate holds at 512 B/1 KB rows (to be measured on
+# hardware; 0 = keep the measured default G=8).
+_WINDOW_GROUP_OVERRIDE = int(__import__("os").environ.get(
+    "SHOT_FPFH_WINDOW_GROUP", "0"))
+
+
+def set_window_group(group: int) -> None:
+    """Override the window fetch's row-group size (8/16/32; 0 = default 8).
+    Clears jit caches — shapes (W = gc·G) change with the group."""
+    global _WINDOW_GROUP_OVERRIDE
+    assert group in (0, 8, 16, 32), group
+    if group != _WINDOW_GROUP_OVERRIDE:
+        _WINDOW_GROUP_OVERRIDE = group
+        jax.clear_caches()
+
+
+def window_group_default() -> int:
+    return _WINDOW_GROUP_OVERRIDE or WINDOW_GROUP
 
 
 def _group_cap(cell_starts: np.ndarray, dims_np: np.ndarray, halo: int,
@@ -301,6 +329,14 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             _, xyrow_group_cap = _xyrow_caps(cell_starts_np, dims_np, halo, 8)
             xyrow_group_cap = int(np.ceil(max(xyrow_group_cap, 1) / 16) * 16)
             use_xyrow = xyrow_group_cap <= group_cap + max(16, group_cap // 5)
+            # wider groups: the gather is INDEX-bound (same ~278M idx/s at
+            # any row width measured up to 256 B), so G=16/32 cut the fetch's
+            # index count ~2/4x for a few % more straddle lanes — exact caps
+            # so consumers can select G per call (set_window_group)
+            _, xyrow_group_cap16 = _xyrow_caps(cell_starts_np, dims_np, halo, 16)
+            xyrow_group_cap16 = int(np.ceil(max(xyrow_group_cap16, 1) / 8) * 8)
+            _, xyrow_group_cap32 = _xyrow_caps(cell_starts_np, dims_np, halo, 32)
+            xyrow_group_cap32 = int(np.ceil(max(xyrow_group_cap32, 1) / 4) * 4)
         else:
             # very sparse grids (>4M cells): the exact pass would allocate
             # several n_cells-sized int64 temporaries — fall back to the
@@ -308,6 +344,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             group_cap = 0
             group_cap16 = 0
             xyrow_group_cap = 0
+            xyrow_group_cap16 = 0
+            xyrow_group_cap32 = 0
             use_xyrow = False
         padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
         cell_starts = _cell_starts_device(ids_sorted, padded_len)
@@ -315,6 +353,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         group_cap = 0
         group_cap16 = 0
         xyrow_group_cap = 0
+        xyrow_group_cap16 = 0
+        xyrow_group_cap32 = 0
         use_xyrow = False
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = (2 * halo + 1) ** 3 * cap
@@ -328,7 +368,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
                     has_table, wcap, col_cap, halo,
                     cell_size_static=float(cell_size), group_cap=group_cap,
                     group_cap16=group_cap16, xyrow_group_cap=xyrow_group_cap,
-                    use_xyrow=use_xyrow)
+                    use_xyrow=use_xyrow, xyrow_group_cap16=xyrow_group_cap16,
+                    xyrow_group_cap32=xyrow_group_cap32)
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):
@@ -456,7 +497,13 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     cutting the run-table lookups and group-straddle padding ~5x for ~1.5%
     more candidate lanes (measured 8.46 -> 5.8 ms on the round-3 headline
     descriptor+matching rep)."""
-    use_xyrow = bool(getattr(grid, "use_xyrow", False)) and group == WINDOW_GROUP
+    xyrow_caps = {
+        8: getattr(grid, "xyrow_group_cap", 0),
+        16: getattr(grid, "xyrow_group_cap16", 0),
+        32: getattr(grid, "xyrow_group_cap32", 0),
+    }
+    use_xyrow = (bool(getattr(grid, "use_xyrow", False))
+                 and xyrow_caps.get(group, 0) > 0)
     if use_xyrow:
         start, end = _xyrow_runs(grid, queries)          # (Qc, 2h+1)
     else:
@@ -487,7 +534,7 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     # computes the EXACT per-grid maximum for the default G (``group_cap``),
     # which is typically much tighter.
     if use_xyrow:
-        gc = grid.xyrow_group_cap
+        gc = xyrow_caps[group]
     elif group == WINDOW_GROUP and getattr(grid, "group_cap", 0):
         gc = grid.group_cap
     elif group == 16 and getattr(grid, "group_cap16", 0):
@@ -524,14 +571,18 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     return vals, rows, valid
 
 
-def window_distances(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
+def window_distances(grid: HashGrid, queries: jnp.ndarray, group: int = 0):
     """Grouped window fetch + per-candidate distances: the shared front end
     of every no-top-k window consumer (SHOT/FPFH window paths, fused, 1-NN).
+
+    ``group=0`` (default) uses the module default / ``set_window_group``
+    override so the fetch's row-group size is A/B-able process-wide.
 
     Returns ``(values (Q, F, W), dist (Q, W), valid (Q, W), rows (Q, W))`` —
     ``valid`` marks true window rows (callers apply their own radius mask on
     ``dist``)."""
-    vals, rows, valid = grouped_window_gather(grid, queries, group=group)
+    vals, rows, valid = grouped_window_gather(
+        grid, queries, group=group or window_group_default())
     dx = vals[:, 0, :] - queries[:, 0:1]
     dy = vals[:, 1, :] - queries[:, 1:2]
     dz = vals[:, 2, :] - queries[:, 2:3]

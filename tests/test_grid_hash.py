@@ -314,3 +314,68 @@ def test_xyrow_mode_rejected_for_volumetric(rng):
     got = (np.asarray(ok) & (np.asarray(d) <= 0.5)).sum(axis=1)
     brute = np.linalg.norm(pts[:32, None, :] - pts[None, :, :], axis=-1)
     np.testing.assert_array_equal(got, (brute <= 0.5).sum(axis=1))
+
+
+def test_window_group_sizes_same_candidates(rng):
+    """G=16/32 grouped fetches (xyrow exact caps, round 4) must return the
+    same in-radius candidate set — wider groups only change the padding."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, window_distances
+
+    xy = rng.uniform(-4, 4, size=(6000, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(6000, 3))).astype(np.float32)
+    grid = build_grid(pts, 0.45, halo=2)
+    assert grid.xyrow_group_cap16 > 0 and grid.xyrow_group_cap32 > 0
+    q = jnp.asarray(pts[:64])
+    radius = 0.9
+    ref_sets = None
+    for g in (8, 16, 32):
+        _vals, d, ok, rows = window_distances(grid, q, group=g)
+        inr = np.asarray(ok & (d <= radius))
+        rws = np.asarray(rows)
+        sets = [np.sort(rws[i][inr[i]]) for i in range(64)]
+        if ref_sets is None:
+            ref_sets = sets
+        else:
+            assert all(np.array_equal(a, b) for a, b in zip(ref_sets, sets)), g
+
+
+def test_set_window_group_descriptor_invariant(rng):
+    """SHOT descriptors must be invariant to the fetch's group size (the
+    set_window_group A/B knob only changes padding lanes)."""
+    import jax.numpy as jnp
+
+    from shot_fpfh_tpu.models.shot import shot_from_window_ff
+    from shot_fpfh_tpu.ops.grid_hash import (
+        build_grid,
+        set_window_group,
+        window_distances,
+    )
+
+    xy = rng.uniform(-4, 4, size=(6000, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(6000, 3))).astype(np.float32)
+    nrm = rng.normal(size=(6000, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+    grid = build_grid(pts, 0.45, extras=nrm, halo=2)
+    q = jnp.asarray(pts[:64])
+    radius = 0.9
+
+    def desc():
+        vals, d, ok, _ = window_distances(grid, q)
+        dist_inf = jnp.where(ok & (d <= radius), d, jnp.inf)
+        out, _ = shot_from_window_ff(q, vals, dist_inf, radius,
+                                     normalize=True, min_neighborhood_size=5)
+        return np.asarray(out)
+
+    try:
+        base = desc()
+        for g in (16, 32):
+            set_window_group(g)
+            np.testing.assert_allclose(desc(), base, atol=2e-5)
+    finally:
+        set_window_group(0)
