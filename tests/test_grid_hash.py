@@ -316,6 +316,7 @@ def test_xyrow_mode_rejected_for_volumetric(rng):
     np.testing.assert_array_equal(got, (brute <= 0.5).sum(axis=1))
 
 
+@pytest.mark.slow
 def test_window_group_sizes_same_candidates(rng):
     """G=16/32 grouped fetches (xyrow exact caps, round 4) must return the
     same in-radius candidate set — wider groups only change the padding."""
@@ -343,6 +344,7 @@ def test_window_group_sizes_same_candidates(rng):
             assert all(np.array_equal(a, b) for a, b in zip(ref_sets, sets)), g
 
 
+@pytest.mark.slow
 def test_set_window_group_descriptor_invariant(rng):
     """SHOT descriptors must be invariant to the fetch's group size (the
     set_window_group A/B knob only changes padding lanes)."""

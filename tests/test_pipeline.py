@@ -456,6 +456,7 @@ def test_fused_fpfh_descriptor_leg_matches_staged(rng):
     np.testing.assert_allclose(fused, staged, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_multiscale_descriptor_leg_matches_staged(rng):
     """The fused multiscale leg (one window fetch, shared first-scale frames)
     must match the staged ShotComputer.compute_descriptor_multiscale."""
