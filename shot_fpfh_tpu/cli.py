@@ -207,18 +207,26 @@ def main(argv=None) -> int:
         # descriptor config (single/bi/multi-scale SHOT, FPFH) with
         # nearest/ratio matching (multiscale: plain min-over-scales top-1)
         # on a single chip; anything else stages
+        # accept both multiscale spellings, like the staged dispatcher
+        # (reference dispatch-mismatch fix, SURVEY §2.4.4)
+        is_multiscale = desc_cfg.descriptor_choice in (
+            "shot_multiscale", "shot_multi_scale"
+        )
         if kp_cfg.selection_algorithm != "subsampling" or not kp_cfg.neighborhood_size:
             reason = "keypoint selection must be 'subsampling' with a neighborhood_size"
         elif desc_cfg.descriptor_choice not in (
-            "shot_single_scale", "shot_bi_scale", "shot_multiscale", "fpfh"
+            "shot_single_scale", "shot_bi_scale", "shot_multiscale",
+            "shot_multi_scale", "fpfh"
         ):
             reason = "descriptor must be shot_single_scale/shot_bi_scale/shot_multiscale/fpfh"
         elif match_cfg.matching_algorithm not in ("simple", "ratio", "double"):
             reason = "matching must be simple/ratio/double"
-        elif (desc_cfg.descriptor_choice == "shot_multiscale"
-              and match_cfg.matching_algorithm != "simple"):
+        elif is_multiscale and match_cfg.matching_algorithm != "simple":
             reason = ("multiscale matching in the fused program is plain "
                       "min-over-scales top-1; use --matching_algorithm simple")
+        elif is_multiscale and not desc_cfg.share_local_rfs:
+            reason = ("the fused multiscale leg always shares first-scale "
+                      "local frames; drop --no-share_local_rfs")
         elif mesh is not None:
             reason = "the fused program is single-chip (drop --n_devices)"
         elif compute_cfg.state_cache:

@@ -9,6 +9,7 @@ eigendecomposition (``ops.eigh3``) replaces N calls to ``np.linalg.eigh``.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +24,7 @@ from ..ops.grid_hash import (
 )
 from ..ops.neighbors import radius_search
 
-logger = __import__("logging").getLogger(__name__)
+logger = logging.getLogger(__name__)
 
 
 def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
@@ -89,14 +90,14 @@ def _streaming_knn_normals(q, c, k, pre, sample_size: int = 512):
     else:
         cov, _, cnt = grid_radius_pca(grid, q, r_q)
     normals = _normals_from_cov(cov, pre)
-    # exactness net (same contract as knn_auto): under-covered queries get a
-    # brute k-NN pass, padded to a pow2 bucket to avoid per-call recompiles
+    # exactness net (same contract as knn_auto): under-covered queries get an
+    # exact k-NN pass, padded to a pow2 bucket to avoid per-call recompiles
     missing = np.asarray(cnt) < min(k, n)
     if missing.any():
-        from ..ops.neighbors import knn
+        from ..ops.grid_hash import pad_pow2_bucket
 
         frac = float(missing.mean())
-        if frac > 0.10:
+        if frac > 0.05:
             logger.warning(
                 "streaming k-NN normals net caught %.1f%% of %d queries "
                 "(adaptive radii undercover); density calibration is off "
@@ -104,10 +105,16 @@ def _streaming_knn_normals(q, c, k, pre, sample_size: int = 512):
                 100.0 * frac, len(missing),
             )
         miss = np.nonzero(missing)[0]
-        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
-        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
-        mj = jnp.asarray(miss_pad)
-        fix = knn(q[mj], c, k)
+        mj = jnp.asarray(pad_pow2_bucket(miss))
+        # small miss sets: one brute (miss x N) matmul is cheap; large ones
+        # (miscalibrated density) would re-pay the O(miss·N) selection this
+        # route removes — go back through the grid-accelerated exact k-NN
+        if len(miss) <= 4096:
+            from ..ops.neighbors import knn
+
+            fix = knn(q[mj], c, k)
+        else:
+            fix = knn_auto(q[mj], c, k)
         pre_m = None if pre is None else pre[mj]
         fixed = _normals_from_neighborhoods(q[mj], c, fix, pre_m)
         normals = normals.at[mj].set(fixed)

@@ -332,11 +332,16 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             # wider groups: the gather is INDEX-bound (same ~278M idx/s at
             # any row width measured up to 256 B), so G=16/32 cut the fetch's
             # index count ~2/4x for a few % more straddle lanes — exact caps
-            # so consumers can select G per call (set_window_group)
-            _, xyrow_group_cap16 = _xyrow_caps(cell_starts_np, dims_np, halo, 16)
-            xyrow_group_cap16 = int(np.ceil(max(xyrow_group_cap16, 1) / 8) * 8)
-            _, xyrow_group_cap32 = _xyrow_caps(cell_starts_np, dims_np, halo, 32)
-            xyrow_group_cap32 = int(np.ceil(max(xyrow_group_cap32, 1) / 4) * 4)
+            # so consumers can select G per call (set_window_group).  Only
+            # computed when the xyrow mode is actually selected: volumetric
+            # grids can never consume them, and the cold build path stays
+            # free of dead host passes
+            xyrow_group_cap16 = xyrow_group_cap32 = 0
+            if use_xyrow:
+                _, xyrow_group_cap16 = _xyrow_caps(cell_starts_np, dims_np, halo, 16)
+                xyrow_group_cap16 = int(np.ceil(max(xyrow_group_cap16, 1) / 8) * 8)
+                _, xyrow_group_cap32 = _xyrow_caps(cell_starts_np, dims_np, halo, 32)
+                xyrow_group_cap32 = int(np.ceil(max(xyrow_group_cap32, 1) / 4) * 4)
         else:
             # very sparse grids (>4M cells): the exact pass would allocate
             # several n_cells-sized int64 temporaries — fall back to the
@@ -853,6 +858,15 @@ def kth_distance_bound(sample: jnp.ndarray, points: jnp.ndarray, k: int):
     return jnp.sqrt(jnp.maximum(-neg[:, -1], 0.0))
 
 
+def pad_pow2_bucket(miss: np.ndarray, min_bucket: int = 64) -> np.ndarray:
+    """Pad a data-dependent miss-index set to a pow2 bucket (edge mode):
+    the exactness nets' re-solve shapes would otherwise force a fresh
+    compile per call (~10 s each through the remote tunnel).  Duplicated
+    pad indices are harmless — they re-write identical values."""
+    bucket = 1 << int(np.ceil(np.log2(max(len(miss), min_bucket))))
+    return np.pad(miss, (0, bucket - len(miss)), mode="edge")
+
+
 def quantized_kth_radius(kth: np.ndarray) -> float:
     """Search-radius bound from sampled k-th-neighbor distances: 1.5x the
     99th percentile bounds the k-th neighbor for all but sparse-region
@@ -899,11 +913,7 @@ def knn_auto(queries, points, k: int, sample_size: int = 512) -> Neighborhoods:
                 100.0 * frac, len(missing), radius,
             )
         miss = np.nonzero(missing)[0]
-        # pad the miss set to a pow2 bucket: its size is data-dependent, and
-        # an unpadded shape would force a fresh brute-knn compile per call
-        # (~10 s each through the remote tunnel)
-        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
-        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
+        miss_pad = pad_pow2_bucket(miss)
         fix = knn(queries[miss_pad], points, k)
         # splice ON DEVICE: pulling the (N, k) neighborhood arrays to the
         # host to patch a handful of rows moved ~90 MB through the tunnel

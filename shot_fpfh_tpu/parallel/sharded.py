@@ -349,12 +349,11 @@ def sharded_normals(
     missing = host_array(count)[:n_orig] < min(k, len(cloud))
     if missing.any():
         from ..ops.eigh3 import pca_eigh as _pca
+        from ..ops.grid_hash import pad_pow2_bucket
         from ..ops.neighbors import knn as _knn
 
         miss = np.nonzero(missing)[0]
-        # pow2 bucket: a data-dependent miss count would recompile per call
-        bucket = 1 << int(np.ceil(np.log2(max(len(miss), 64))))
-        miss_pad = np.pad(miss, (0, bucket - len(miss)), mode="edge")
+        miss_pad = pad_pow2_bucket(miss)
         qj = jnp.asarray(np.asarray(query_points, np.float32)[miss_pad])
         cj = jnp.asarray(cloud)
         nbr = _knn(qj, cj, k)

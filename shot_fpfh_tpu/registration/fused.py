@@ -209,8 +209,11 @@ def fused_registration(
         from .matching import MS_MAX_VAL, multiscale_top1
 
         nn_idx, ms_dist = multiscale_top1(scan_desc, ref_desc)
-        scan_ok = jnp.any(scan_desc[0] != 0, axis=1) & scan_kp_valid
-        valid_match = scan_ok & (ms_dist < MS_MAX_VAL)
+        # validity by the sentinel ALONE, exactly like the staged branch
+        # (matching.py keep = distances < MS_MAX_VAL): a keypoint sparse at
+        # the smallest scale but valid at a larger one still matches; rows
+        # empty at every scale (incl. padding) keep dist = MS_MAX_VAL
+        valid_match = scan_kp_valid & (ms_dist < MS_MAX_VAL)
     else:
         # ---- ratio matching ------------------------------------------------
         ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid

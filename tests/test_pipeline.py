@@ -487,3 +487,57 @@ def test_fused_multiscale_descriptor_leg_matches_staged(rng):
         descs.append(np.asarray(d_s))
     fused = np.stack(descs)
     np.testing.assert_allclose(fused, staged, atol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kw", [
+    {},
+    {"descriptor": "fpfh"},
+    {"rf_radius": 0.3},
+    {"descriptor": "shot_multiscale", "ms_radii": (0.4, 0.6)},
+])
+def test_register_pair_grid_branch_matches_brute(monkeypatch, rng, kw):
+    """register_pair's grid branches (FPFH sorted-index mapping, shot_cell
+    sizing for bi/multi-scale windows) must give the same registration as the
+    brute branches — exercised by forcing the auto-grid threshold down."""
+    from shot_fpfh_tpu.core import rotation_angle
+    from shot_fpfh_tpu.models import compute_normals as _cn
+    from shot_fpfh_tpu.ops import grid_hash
+    from shot_fpfh_tpu.registration.fused import register_pair
+
+    scan, ref, exact = make_pair(rng, n=2200)
+    scan = scan.astype(np.float32)
+    ref = ref.astype(np.float32)
+    sn = np.asarray(_cn(scan, scan, k=20))
+    rn = np.asarray(_cn(ref, ref, k=20))
+    common = dict(keypoint_voxel=0.25, icp_voxel=0.12, radius=0.45,
+                  d_max=0.3, min_neighborhood_size=5, k_max=512,
+                  n_draws=1500, **kw)
+    brute = register_pair(scan, sn, ref, rn, **common)
+    monkeypatch.setattr(grid_hash, "AUTO_GRID_MIN_POINTS", 500)
+    grid = register_pair(scan, sn, ref, rn, **common)
+    for res, tag in ((brute, "brute"), (grid, "grid")):
+        ang = float(rotation_angle(np.asarray(res.icp_transform.rotation),
+                                   exact.rotation))
+        assert ang < 0.02, f"{tag} {kw} off ground truth by {ang}"
+    # same matches within a small slack (fp-order differences only)
+    nb, ng = int(brute.n_matches), int(grid.n_matches)
+    assert abs(nb - ng) <= max(3, 0.03 * nb), (nb, ng)
+
+
+def test_run_fused_accepts_multi_scale_alias(rng):
+    """Both multiscale spellings must reach the fused leg (the staged
+    dispatcher accepts both; reference dispatch-mismatch fix, SURVEY §2.4.4)."""
+    from shot_fpfh_tpu.models import compute_normals as _cn
+    import shot_fpfh_tpu.pipeline as pl
+
+    scan, ref, _ = make_pair(rng, n=900)
+    sn = np.asarray(_cn(scan, scan, k=15))
+    rn = np.asarray(_cn(ref, ref, k=15))
+    p = pl.RegistrationPipeline(scan=scan.astype(np.float32), scan_normals=sn,
+                                ref=ref.astype(np.float32), ref_normals=rn)
+    res = p.run_fused(keypoint_voxel=0.3, icp_voxel=0.15, radius=0.4,
+                      descriptor_choice="shot_multi_scale", phi=1.5,
+                      n_scales=2, d_max=0.3, min_neighborhood_size=5,
+                      n_draws=500, max_iter=10)
+    assert int(res.n_matches) > 0
