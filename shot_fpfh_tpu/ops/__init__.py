@@ -6,6 +6,7 @@ from .neighbors import (
     radius_count,
     radius_search,
 )
+from .grid_hash import set_window_group, window_group_default
 from .pallas_radius import fused_kernels_enabled, set_fused_kernels
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "pca_eigh",
     "fused_kernels_enabled",
     "set_fused_kernels",
+    "set_window_group",
+    "window_group_default",
     "Neighborhoods",
     "knn",
     "nearest_neighbor",

@@ -91,6 +91,13 @@ class RegistrationPipeline:
         force_recompute: bool = False,
     ) -> None:
         self.metrics.start(f"keypoints[{selection_algorithm}]")
+        if (selection_algorithm in ("iterative", "subsampling",
+                                    "subsampling_with_density")
+                and neighborhood_size is None):
+            raise ValueError(
+                f"keypoint selection '{selection_algorithm}' needs "
+                "neighborhood_size (CLI: --neighborhood_size)"
+            )
         if selection_algorithm == "random":
             assert 0 <= proportion_picked <= 1, "Incorrect proportion passed."
             if self.scan_keypoints is None or force_recompute:
