@@ -75,7 +75,8 @@ class HashGrid:
                  cell_size_static: float | None = None,
                  group_cap: int = 0, group_cap16: int = 0,
                  xyrow_group_cap: int = 0, use_xyrow: bool = False,
-                 xyrow_group_cap16: int = 0, xyrow_group_cap32: int = 0):
+                 xyrow_group_cap16: int = 0, xyrow_group_cap32: int = 0,
+                 xyrow_run_cap: int = 0):
         self.packed_sorted = packed_sorted  # (N, 3+F) [points | extras], cell order
         self.orig_idx = orig_idx            # (N,) sorted position -> original index
         self.cell_ids_sorted = cell_ids_sorted  # (N,) int32 linear ids (ascending)
@@ -104,6 +105,9 @@ class HashGrid:
         self.xyrow_group_cap32 = xyrow_group_cap32  # gather is INDEX-bound,
                                             # so wider groups cut its cost
                                             # ~G/8x for ~the same bytes)
+        self.xyrow_run_cap = xyrow_run_cap  # static: max length of a single
+                                            # xy-row run (sizes the run-DMA
+                                            # kernels' per-run tile budget)
         self.use_xyrow = use_xyrow          # static: the grouped gather uses
                                             # 2h+1 xy-row runs instead of
                                             # (2h+1)^2 z-column runs — chosen
@@ -125,7 +129,8 @@ class HashGrid:
                           self.col_cap, self.halo, self.cell_size_static,
                           self.group_cap, self.group_cap16,
                           self.xyrow_group_cap, self.use_xyrow,
-                          self.xyrow_group_cap16, self.xyrow_group_cap32)
+                          self.xyrow_group_cap16, self.xyrow_group_cap32,
+                          self.xyrow_run_cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -241,7 +246,8 @@ def _xyrow_caps(cell_starts: np.ndarray, dims_np: np.ndarray, halo: int,
         lp, gp = ln_p[dx:dx + d0], g_p[dx:dx + d0]
         ln_acc = lp.copy() if ln_acc is None else ln_acc + lp
         g_acc = gp.copy() if g_acc is None else g_acc + gp
-    return int(ln_acc.max()), int(g_acc.max())
+    # third value: the longest SINGLE run (sizes the run-DMA tile budget)
+    return int(ln_acc.max()), int(g_acc.max()), int(ln.max())
 
 
 def _window_caps(cell_starts: np.ndarray, dims_np: np.ndarray, n: int,
@@ -326,7 +332,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             # the 5x-fewer-runs index math saves ~390 ns/query (measured
             # round-3: 2.24 ms -> 0.6 ms at 4096 queries), so the break-even
             # sits near +0.2x groups
-            _, xyrow_group_cap = _xyrow_caps(cell_starts_np, dims_np, halo, 8)
+            _, xyrow_group_cap, xyrow_run_cap = _xyrow_caps(
+                cell_starts_np, dims_np, halo, 8)
             xyrow_group_cap = int(np.ceil(max(xyrow_group_cap, 1) / 16) * 16)
             use_xyrow = xyrow_group_cap <= group_cap + max(16, group_cap // 5)
             # wider groups: the gather is INDEX-bound (same ~278M idx/s at
@@ -338,9 +345,9 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             # free of dead host passes
             xyrow_group_cap16 = xyrow_group_cap32 = 0
             if use_xyrow:
-                _, xyrow_group_cap16 = _xyrow_caps(cell_starts_np, dims_np, halo, 16)
+                _, xyrow_group_cap16, _ = _xyrow_caps(cell_starts_np, dims_np, halo, 16)
                 xyrow_group_cap16 = int(np.ceil(max(xyrow_group_cap16, 1) / 8) * 8)
-                _, xyrow_group_cap32 = _xyrow_caps(cell_starts_np, dims_np, halo, 32)
+                _, xyrow_group_cap32, _ = _xyrow_caps(cell_starts_np, dims_np, halo, 32)
                 xyrow_group_cap32 = int(np.ceil(max(xyrow_group_cap32, 1) / 4) * 4)
         else:
             # very sparse grids (>4M cells): the exact pass would allocate
@@ -351,6 +358,7 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
             xyrow_group_cap = 0
             xyrow_group_cap16 = 0
             xyrow_group_cap32 = 0
+            xyrow_run_cap = 0
             use_xyrow = False
         padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
         cell_starts = _cell_starts_device(ids_sorted, padded_len)
@@ -360,6 +368,7 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
         xyrow_group_cap = 0
         xyrow_group_cap16 = 0
         xyrow_group_cap32 = 0
+        xyrow_run_cap = 0
         use_xyrow = False
         cell_starts = jnp.zeros((1,), jnp.int32)
         wcap = (2 * halo + 1) ** 3 * cap
@@ -374,7 +383,8 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
                     cell_size_static=float(cell_size), group_cap=group_cap,
                     group_cap16=group_cap16, xyrow_group_cap=xyrow_group_cap,
                     use_xyrow=use_xyrow, xyrow_group_cap16=xyrow_group_cap16,
-                    xyrow_group_cap32=xyrow_group_cap32)
+                    xyrow_group_cap32=xyrow_group_cap32,
+                    xyrow_run_cap=xyrow_run_cap)
 
 
 def _cell_runs(grid: HashGrid, queries: jnp.ndarray):

@@ -1,0 +1,249 @@
+"""Run-DMA fused SHOT: window fetch + LRF + binning + histogram, ONE kernel.
+
+The round-3/4 roofline (docs/ROOFLINE.md) pins the production SHOT rep's two
+largest terms to hardware bounds the XLA formulation cannot cross:
+
+- the candidate **gather is INDEX-bound** (~278 M idx/s at every row width
+  measured) — 1.41 ms of the 4.80 ms rep is XLA fetching the window row-group
+  by row-group;
+- the **binning/LRF stages lose ~1.2 ms to fusion boundaries** (the dozen
+  (Q, W) intermediates round-trip HBM), which `pallas_shot_fused` removes but
+  still pays the gather.
+
+This kernel removes both at once.  The xy-row window of a surface grid is
+2h+1 CONTIGUOUS runs in the sorted table (ops/grid_hash.py::_xyrow_runs), so
+instead of gathering ~hundreds of rows per query by index, each query issues
+2h+1 **async DMA copies of whole runs** from the tile-chunked HBM table into
+VMEM — the same streaming pattern `pallas_radius._pca_kernel` proved on
+hardware at ~843 GB/s (bandwidth-, not index-bound: ~0.15 ms for the bench
+window vs the gather's 1.41 ms floor).  The copied tiles are then assembled
+into the batched feature-plane layout and the ENTIRE post-fetch stage runs
+in-kernel via the shared ``pallas_shot_fused._binning_histogram_body`` —
+local frames (trig-free Jacobi), exact reference soft bins, factored one-hot
+MXU contraction — so no per-neighbor intermediate ever touches HBM.
+
+Estimated composite floor with this kernel: ~0.15 ms DMA + ~0.6 ms one-hot
+contraction + ~1 ms VPU binning/LRF ≈ 1.8 ms/4096 (≥2.2 M desc/s) vs the
+4.80 ms measured XLA rep — to be validated on hardware (gated OFF until
+then, like every Pallas kernel here; see DESIGN.md §10/§11).
+
+Cited reference behavior: descriptors/shot.py:51-306 (bin conventions via
+ops.descriptor_bins), shot_parallelization.py:185-239 (bi-scale frames).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_radius import TILE, _on_tpu, tile_table
+from .pallas_shot_fused import N_COS, N_LO, _binning_histogram_body
+
+
+def _dma_kernel(qb, n_runs, run_tiles, compute_rfs, has_rf,
+                radius_ref, runs_ref, seg_ref, params_ref, table_ref,
+                out_ref, *rest):
+    if compute_rfs:
+        rfs_out, cnt_ref = rest[0], rest[1]
+        scratch, sems, smem, smem_sem = rest[2:]
+        rfs_outs = [rfs_out]
+    else:
+        cnt_ref = rest[0]
+        scratch, sems, smem, smem_sem = rest[1:]
+        rfs_outs = []
+
+    cp = pltpu.make_async_copy(runs_ref, smem, smem_sem)
+    cp.start()
+    cp.wait()
+
+    # one DMA per (query, run): (run_tiles, 8, TILE) table tiles -> scratch
+    # (the proven _pca_kernel pattern; one semaphore per query)
+    def dma(q, j):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(smem[q, 3 * j], run_tiles)],
+            scratch.at[q, j],
+            sems.at[q],
+        )
+
+    for q in range(qb):
+        for j in range(n_runs):
+            dma(q, j).start()
+    for q in range(qb):
+        for j in range(n_runs):
+            dma(q, j).wait()
+
+    # assemble batched (QB, W) feature planes from the per-(run, tile)
+    # scratch segments: a lane concat of static slices (the layout the shared
+    # body and its dots expect); W = n_runs * run_tiles * TILE
+    w = n_runs * run_tiles * TILE
+    planes = []
+    for f in range(6):
+        segs = [scratch[:, j, u, f, :]
+                for j in range(n_runs) for u in range(run_tiles)]
+        planes.append(jnp.concatenate(segs, axis=1))
+
+    # validity: lane -> (run j, row offset u*TILE + lane%TILE); a lane is a
+    # true window row iff its row offset lies in the run's [s_off, e_off)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    valid = jnp.zeros((qb, w), jnp.bool_)
+    seg_i = seg_ref[:]
+    for j in range(n_runs):
+        base = j * run_tiles * TILE
+        row_off = lane - base
+        in_run = (lane >= base) & (lane < base + run_tiles * TILE)
+        s_j = seg_i[:, 2 * j:2 * j + 1]
+        e_j = seg_i[:, 2 * j + 1:2 * j + 2]
+        valid = valid | (in_run & (row_off >= s_j) & (row_off < e_j))
+
+    p = params_ref[:]
+    r = radius_ref[0, 0]
+    dx = planes[0] - p[:, 0:1]
+    dy = planes[1] - p[:, 1:2]
+    dz = planes[2] - p[:, 2:3]
+    rho2 = dx * dx + dy * dy + dz * dz
+    big = jnp.float32(3.4e38)  # body convention: >= 3e38 marks invalid
+    d = jnp.where(valid & (rho2 <= r * r), jnp.sqrt(rho2), big)
+    rf_d = None
+    if has_rf:
+        r_rf = radius_ref[0, 1]
+        rf_d = jnp.where(valid & (rho2 <= r_rf * r_rf), jnp.sqrt(rho2), big)
+
+    # neighborhood size for the caller's min-neighborhood/normalize epilogue
+    cnt = jnp.sum(((d < jnp.float32(3.0e38)) & (d > 0)).astype(jnp.float32),
+                  axis=1, keepdims=True)
+    cnt_ref[:] = jnp.concatenate(
+        [cnt, jnp.zeros((qb, 15), jnp.float32)], axis=1)
+
+    _binning_histogram_body(
+        qb, w, compute_rfs, has_rf, r, radius_ref[0, 1],
+        planes, d, rf_d, p, out_ref, rfs_outs,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qb", "interpret", "normalize",
+                              "min_neighborhood_size"),
+)
+def shot_descriptor_dma(
+    grid,
+    keypoints: jnp.ndarray,   # (Q, 3)
+    radius,
+    rfs=None,                 # (Q, 3, 3) shared frames (multiscale), or None
+    rf_radius=None,           # bi-scale: frames from this radius
+    normalize: bool = True,
+    min_neighborhood_size: int = 100,
+    qb: int = 8,
+    interpret: bool | None = None,
+):
+    """(Q, 352) SHOT descriptors + frames straight from the grid: run-DMA
+    fetch + in-kernel LRF/binning/histogram, zero XLA gathers.
+
+    Drop-in for ``window_distances`` + ``shot_from_window_ff`` on xy-row
+    grids built with normals extras.  Returns ``(desc (Q, 352), rfs)``.
+    """
+    from ..models.shot import _shot_finalize
+    from .grid_hash import _xyrow_runs
+
+    assert getattr(grid, "use_xyrow", False) and grid.xyrow_run_cap > 0, (
+        "shot_descriptor_dma needs an xy-row grid (surface-like cloud, "
+        "build_grid with a cell table)"
+    )
+    assert grid.packed_sorted.shape[1] >= 6, "grid needs extras=normals"
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    queries = jnp.asarray(keypoints, jnp.float32)
+    q = queries.shape[0]
+    n_runs = 2 * grid.halo + 1
+    nt = -(-grid.packed_sorted.shape[0] // TILE)
+    run_tiles = min(-(-int(grid.xyrow_run_cap) // TILE) + 1, nt)
+    table = tile_table(grid.packed_sorted[:, :6], 8)
+
+    start, end = _xyrow_runs(grid, queries)            # (Q, n_runs)
+    t = jnp.clip(start // TILE, 0, max(nt - run_tiles, 0))
+    s_off = start - t * TILE
+    e_off = jnp.maximum(end - t * TILE, s_off)
+
+    pad_q = (-q) % qb
+    qp = q + pad_q
+    blocks = qp // qb
+
+    runs_cols = [jnp.zeros((q,), jnp.int32)] * 32
+    for j in range(n_runs):
+        runs_cols[3 * j] = t[:, j]
+        runs_cols[3 * j + 1] = s_off[:, j]
+        runs_cols[3 * j + 2] = e_off[:, j]
+    runs = jnp.pad(jnp.stack(runs_cols, axis=1), ((0, pad_q), (0, 96)))
+
+    seg_cols = [jnp.zeros((q,), jnp.int32)] * 32
+    for j in range(n_runs):
+        seg_cols[2 * j] = s_off[:, j]
+        seg_cols[2 * j + 1] = e_off[:, j]
+    seg = jnp.pad(jnp.stack(seg_cols, axis=1), ((0, pad_q), (0, 0)))
+
+    compute_rfs = rfs is None
+    has_rf = compute_rfs and rf_radius is not None
+    params = queries
+    if compute_rfs:
+        params = jnp.pad(params, ((0, 0), (0, 13)))
+    else:
+        params = jnp.concatenate(
+            [params, jnp.asarray(rfs, jnp.float32).reshape(q, 9)], axis=1)
+        params = jnp.pad(params, ((0, 0), (0, 4)))
+    params = jnp.pad(params, ((0, pad_q), (0, 0)))
+
+    radius_arr = jnp.stack([
+        jnp.asarray(radius, jnp.float32),
+        jnp.asarray(radius if rf_radius is None else rf_radius, jnp.float32),
+    ]).reshape(1, 2)
+
+    out_shapes = [jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32)]
+    out_specs = [pl.BlockSpec((qb, N_COS, N_LO), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if compute_rfs:
+        out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32))
+        out_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32))
+    out_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _dma_kernel, qb, n_runs, run_tiles, compute_rfs, has_rf)
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((qb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 32), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((qb, n_runs, run_tiles, 8, TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((qb,)),
+            pltpu.SMEM((qb, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(radius_arr, runs, seg, params, table)
+
+    hist = out[0].reshape(qp, N_COS * N_LO)[:q]
+    if compute_rfs:
+        rfs_out = out[1].reshape(qp, 16)[:q, :9].reshape(q, 3, 3)
+        cnt = out[2].reshape(qp, 16)[:q, 0]
+    else:
+        rfs_out = jnp.asarray(rfs, jnp.float32)
+        cnt = out[1].reshape(qp, 16)[:q, 0]
+    desc = _shot_finalize(hist, cnt, normalize, min_neighborhood_size)
+    return desc, rfs_out

@@ -155,40 +155,41 @@ def _lrf_planes(cx, cy, cz, okf, rho, r):
     return x_axis, y_axis, z_axis
 
 
-def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
-                  dist_ref, *refs):
-    if has_rf_dist:
-        rf_dist_ref, params_ref, out_ref, *rfs_out = refs
-    else:
-        params_ref, out_ref, *rfs_out = refs
-    r = radius_ref[0, 0]
+def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
+                            planes, d, rf_d, p, out_ref, rfs_out):
+    """The whole post-fetch SHOT stage on loaded arrays: (optional) in-kernel
+    LRFs, soft binning, factored one-hot contraction.  Shared by the
+    VMEM-window kernel (``_fused_kernel``) and the run-DMA kernel
+    (``ops.pallas_shot_dma``), so the two lowering paths cannot drift.
 
-    d = dist_ref[:]  # (QB, W)
+    ``planes``: the six raw (QB, W) feature planes [x y z nx ny nz];
+    ``d``: (QB, W) distance-or-big (>= 3e38 marks invalid lanes); ``rf_d``:
+    the bi-scale frame-radius validity plane or None; ``p``: (QB, 16) params
+    [qx qy qz | rf row-major 9 | pad]."""
+    d = d[:]
     finite = d < jnp.float32(3.0e38)
     rho = jnp.where(finite, d, 0.0)
     vf = (finite & (rho > 0)).astype(jnp.float32)
 
-    p = params_ref  # (QB, 16): [qx qy qz | rf row-major 9 | pad]
     # select (not multiply) the invalid lanes to zero so a non-finite value
     # in a padding/out-of-radius lane cannot poison the histogram via NaN*0
     # — the same robustness the XLA path gets from its where-masking
-    cxb = vals_ref[:, 0, :] - p[:, 0:1]
-    cyb = vals_ref[:, 1, :] - p[:, 1:2]
-    czb = vals_ref[:, 2, :] - p[:, 2:3]
+    cxb = planes[0] - p[:, 0:1]
+    cyb = planes[1] - p[:, 1:2]
+    czb = planes[2] - p[:, 2:3]
     cx = jnp.where(finite, cxb, 0.0)
     cy = jnp.where(finite, cyb, 0.0)
     cz = jnp.where(finite, czb, 0.0)
-    nx = jnp.where(finite, vals_ref[:, 3, :], 0.0)
-    ny = jnp.where(finite, vals_ref[:, 4, :], 0.0)
-    nz = jnp.where(finite, vals_ref[:, 5, :], 0.0)
+    nx = jnp.where(finite, planes[3], 0.0)
+    ny = jnp.where(finite, planes[4], 0.0)
+    nz = jnp.where(finite, planes[5], 0.0)
 
     if compute_rfs:
         if has_rf_dist:
             # bi-scale: frames come from the rf_radius neighborhood (a
             # DIFFERENT validity plane over the same window — reference
-            # shot_parallelization.py:185-239), descriptor bins from dist_ref
-            r_rf = radius_ref[0, 1]
-            d2 = rf_dist_ref[:]
+            # shot_parallelization.py:185-239), descriptor bins from ``d``
+            d2 = rf_d[:]
             finite2 = d2 < jnp.float32(3.0e38)
             rho2 = jnp.where(finite2, d2, 0.0)
             cx2 = jnp.where(finite2, cxb, 0.0)
@@ -261,6 +262,21 @@ def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
             a2, b2, dimension_numbers=dims, preferred_element_type=jnp.float32
         )
         out_ref[qi] = acc
+
+
+def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
+                  dist_ref, *refs):
+    if has_rf_dist:
+        rf_dist_ref, params_ref, out_ref, *rfs_out = refs
+    else:
+        rf_dist_ref = None
+        params_ref, out_ref, *rfs_out = refs
+    planes = [vals_ref[:, f, :] for f in range(6)]
+    _binning_histogram_body(
+        qb, w, compute_rfs, has_rf_dist,
+        radius_ref[0, 0], radius_ref[0, 1],
+        planes, dist_ref, rf_dist_ref, params_ref[:], out_ref, rfs_out,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("qb", "interpret"))

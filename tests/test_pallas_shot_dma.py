@@ -1,0 +1,97 @@
+"""Run-DMA fused SHOT kernel (ops/pallas_shot_dma.py) vs the XLA window path.
+
+Interpret-mode semantics; the Mosaic lowering is asserted on hardware by
+``tests_tpu/test_hardware_parity.py``.  Frames come from the in-kernel
+trig-free Jacobi (~1e-4 vs XLA eigh), which flips a per-mille of soft-bin
+edge weights — the same tolerance scheme as tests/test_pallas_shot_fused.py.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from shot_fpfh_tpu.models.shot import shot_from_window_ff
+from shot_fpfh_tpu.ops.grid_hash import build_grid, window_distances
+from shot_fpfh_tpu.ops.pallas_shot_dma import shot_descriptor_dma
+
+
+def _surface(n, rng, scale=6.0):
+    xy = rng.uniform(-scale, scale, size=(n, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(n, 3))).astype(np.float32)
+    nrm = rng.normal(size=(n, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+    return pts, nrm
+
+
+def _xla_reference(grid, q, radius, min_nb, rfs=None, rf_radius=None):
+    vals, d, ok, _ = window_distances(grid, q)
+    dist_inf = jnp.where(ok & (d <= radius), d, jnp.inf)
+    rf_dist_inf = None
+    if rf_radius is not None:
+        rf_dist_inf = jnp.where(ok & (d <= rf_radius), d, jnp.inf)
+    return shot_from_window_ff(
+        q, vals, dist_inf, radius, normalize=True,
+        min_neighborhood_size=min_nb, local_rfs=rfs,
+        rf_dist_inf=rf_dist_inf, rf_radius=rf_radius,
+    )
+
+
+def _assert_close(dma_desc, ref_desc, frac=1e-3, hard=0.1):
+    dd = np.abs(np.asarray(dma_desc) - np.asarray(ref_desc))
+    assert (dd > 5e-3).mean() <= frac and dd.max() <= hard, (
+        dd.max(), (dd > 5e-3).mean())
+
+
+@pytest.mark.slow
+def test_dma_shot_matches_xla_window_path(rng):
+    pts, nrm = _surface(20000, rng)
+    radius = 0.9
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    assert grid.use_xyrow and grid.xyrow_run_cap > 0
+    q = jnp.asarray(pts[:48])
+    ref_desc, ref_rfs = _xla_reference(grid, q, radius, 30)
+    dma_desc, dma_rfs = shot_descriptor_dma(grid, q, radius,
+                                            min_neighborhood_size=30)
+    np.testing.assert_allclose(np.asarray(dma_rfs), np.asarray(ref_rfs),
+                               atol=5e-4)
+    _assert_close(dma_desc, ref_desc)
+    assert np.any(np.asarray(dma_desc), axis=1).sum() == 48
+
+
+@pytest.mark.slow
+def test_dma_shot_shared_rfs_bit_tight(rng):
+    """With frames given (multiscale sharing), the only difference vs XLA is
+    fp accumulation order: the histograms must agree tightly everywhere."""
+    pts, nrm = _surface(15000, rng)
+    radius = 0.8
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    q = jnp.asarray(pts[:40])
+    _, rfs = _xla_reference(grid, q, radius, 10)
+    ref_desc, _ = _xla_reference(grid, q, radius, 10, rfs=rfs)
+    dma_desc, _ = shot_descriptor_dma(grid, q, radius, rfs=rfs,
+                                      min_neighborhood_size=10)
+    np.testing.assert_allclose(np.asarray(dma_desc), np.asarray(ref_desc),
+                               atol=5e-3)
+
+
+@pytest.mark.slow
+def test_dma_shot_bi_scale_and_padding(rng):
+    """Bi-scale frames (rf_radius over the same window) + a query count that
+    is not a multiple of qb + an empty-neighborhood (far) query."""
+    pts, nrm = _surface(15000, rng)
+    radius, rf_radius = 0.8, 0.45
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    far = np.array([[500.0, 500.0, 500.0]], np.float32)
+    q = jnp.asarray(np.concatenate([pts[:42], far]))
+    ref_desc, ref_rfs = _xla_reference(grid, q, radius, 10,
+                                       rf_radius=rf_radius)
+    dma_desc, dma_rfs = shot_descriptor_dma(
+        grid, q, radius, rf_radius=rf_radius, min_neighborhood_size=10)
+    np.testing.assert_allclose(np.asarray(dma_rfs)[:42],
+                               np.asarray(ref_rfs)[:42], atol=5e-4)
+    _assert_close(dma_desc[:42], ref_desc[:42])
+    # the far query has no window: zero descriptor, identity frame
+    assert not np.any(np.asarray(dma_desc)[42])
+    np.testing.assert_allclose(np.asarray(dma_rfs)[42], np.eye(3), atol=1e-6)

@@ -182,3 +182,28 @@ def test_fused_spfh_kernel_matches_xla_on_tpu():
                              jnp.asarray(kp), jnp.asarray(qn), 5,
                              decorrelated)
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_dma_shot_kernel_matches_xla_on_tpu():
+    # first Mosaic lowering of the run-DMA fused SHOT kernel: run-copy DMAs +
+    # in-kernel LRF/binning/histogram vs the XLA window path
+    from shot_fpfh_tpu.models.shot import shot_from_window_ff
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, window_distances
+    from shot_fpfh_tpu.ops.pallas_shot_dma import shot_descriptor_dma
+
+    pts, nrm = _cloud(n=20000, seed=7)
+    radius = 0.8
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    assert grid.use_xyrow and grid.xyrow_run_cap > 0
+    q = jnp.asarray(pts[:512])
+    vals, d, ok, _ = window_distances(grid, q)
+    dist_inf = jnp.where(ok & (d <= radius), d, jnp.inf)
+    ref_desc, ref_rfs = shot_from_window_ff(
+        q, vals, dist_inf, radius, normalize=True, min_neighborhood_size=30)
+    dma_desc, dma_rfs = shot_descriptor_dma(grid, q, radius,
+                                            min_neighborhood_size=30)
+    np.testing.assert_allclose(np.asarray(dma_rfs), np.asarray(ref_rfs),
+                               atol=5e-4)
+    dd = np.abs(np.asarray(dma_desc) - np.asarray(ref_desc))
+    assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1, (
+        dd.max(), (dd > 5e-3).mean())
