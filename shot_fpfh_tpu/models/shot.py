@@ -262,6 +262,19 @@ def _use_fused_kernel() -> bool:
     return fused_kernels_enabled() and not _DEBUG["enabled"]
 
 
+def _use_dma_kernel(grid) -> bool:
+    """Route the grid window path through the run-DMA fused SHOT kernel
+    (``ops.pallas_shot_dma``) — fetch + LRF + binning + histogram in one
+    program, no XLA gather.  Requires an xy-row grid carrying normals
+    extras; the debug sanity checks live in the XLA binning."""
+    from ..ops.pallas_radius import dma_kernel_enabled
+
+    return (dma_kernel_enabled() and not _DEBUG["enabled"]
+            and bool(getattr(grid, "use_xyrow", False))
+            and getattr(grid, "xyrow_run_cap", 0) > 0
+            and grid.packed_sorted.shape[1] >= 6)
+
+
 def _shot_accumulate(lx, ly, lz, rho, cosine, valid, radius,
                      normalize, min_neighborhood_size):
     """Binning + histogram + normalization from per-neighbor (Q, K) scalars
@@ -440,6 +453,16 @@ def _shot_window_chunked(grid, kp, local_rfs, radius, normalize,
     rep) disappears.  Measured 20.9 -> 14.9 ms for 4096 descriptors+matching.
     """
     from ..ops.grid_hash import window_distances
+
+    if _use_dma_kernel(grid):
+        from ..ops.pallas_shot_dma import shot_descriptor_dma
+
+        return shot_descriptor_dma(
+            grid, kp, radius,
+            rfs=local_rfs if has_rfs else None, rf_radius=rf_radius,
+            normalize=normalize,
+            min_neighborhood_size=min_neighborhood_size,
+        )
 
     q = kp.shape[0]
     n_chunks = -(-q // chunk)

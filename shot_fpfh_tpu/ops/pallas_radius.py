@@ -81,6 +81,30 @@ def set_fused_kernels(enabled: bool) -> None:
     _FUSED["enabled"] = bool(enabled)
 
 
+_DMA = {"enabled": None}  # None: resolve from SHOT_FPFH_DMA on first use
+
+
+def dma_kernel_enabled() -> bool:
+    """Whether the run-DMA fused SHOT kernel (ops/pallas_shot_dma) replaces
+    the gather-based window path on qualifying grids (xy-row mode with
+    normals extras).  TPU only; default from ``SHOT_FPFH_DMA`` (off until
+    device timings exist — DESIGN.md §11); same trace-time semantics as
+    :func:`fused_kernels_enabled`."""
+    if _DMA["enabled"] is None:
+        import os
+
+        _DMA["enabled"] = os.environ.get("SHOT_FPFH_DMA", "0") != "0"
+    return _DMA["enabled"] and _on_tpu()
+
+
+def set_dma_kernel(enabled: bool) -> None:
+    """Toggle the run-DMA SHOT kernel; clears jit caches like
+    :func:`set_fused_kernels`."""
+    if _DMA["enabled"] is not None and _DMA["enabled"] != bool(enabled):
+        jax.clear_caches()
+    _DMA["enabled"] = bool(enabled)
+
+
 @functools.partial(jax.jit, static_argnames=("n_feat",))
 def tile_table(packed: jnp.ndarray, n_feat: int = 8) -> jnp.ndarray:
     """Pack ``(N, F)`` rows into the ``(n_tiles, 8, TILE)`` DMA layout."""

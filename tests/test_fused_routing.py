@@ -123,3 +123,37 @@ def test_spfh_window_fused_branch_matches_xla(rng, force_fused):
         mp.setattr(mf, "_use_fused_spfh", lambda: False)
         xla = mf._spfh_window_block(grid, qc, qn, radius, 5, False)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(xla), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dma_route_matches_xla_window(monkeypatch, rng):
+    """With the SHOT_FPFH_DMA gate forced on, compute_shot_descriptor's grid
+    path must route through the run-DMA kernel and agree with the XLA window
+    path (frames to 5e-4; per-mille of soft-bin edge flips allowed)."""
+    import jax
+
+    from shot_fpfh_tpu.ops import grid_hash
+
+    xy = rng.uniform(-6, 6, size=(12000, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(12000, 3))).astype(np.float32)
+    nrm = rng.normal(size=(12000, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+    q = pts[:40]
+    radius = 0.9
+    monkeypatch.setattr(grid_hash, "AUTO_GRID_MIN_POINTS", 1000)
+    ref_desc, ref_rfs = ms.compute_shot_descriptor(
+        q, pts, nrm, radius, min_neighborhood_size=30)
+    monkeypatch.setattr(ms, "_use_dma_kernel", lambda grid: True)
+    jax.clear_caches()
+    try:
+        dma_desc, dma_rfs = ms.compute_shot_descriptor(
+            q, pts, nrm, radius, min_neighborhood_size=30)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(dma_rfs), np.asarray(ref_rfs),
+                               atol=5e-4)
+    dd = np.abs(np.asarray(dma_desc) - np.asarray(ref_desc))
+    assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1, (
+        dd.max(), (dd > 5e-3).mean())
