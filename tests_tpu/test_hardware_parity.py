@@ -207,3 +207,40 @@ def test_dma_shot_kernel_matches_xla_on_tpu():
     dd = np.abs(np.asarray(dma_desc) - np.asarray(ref_desc))
     assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1, (
         dd.max(), (dd > 5e-3).mean())
+
+
+def test_dma_shot_kernel_shared_and_biscale_on_tpu():
+    # the other two DMA-kernel modes: shared multiscale frames (binning only)
+    # and bi-scale frame radii over the same streamed window
+    from shot_fpfh_tpu.models.shot import shot_from_window_ff
+    from shot_fpfh_tpu.ops.grid_hash import build_grid, window_distances
+    from shot_fpfh_tpu.ops.pallas_shot_dma import shot_descriptor_dma
+
+    pts, nrm = _cloud(n=15000, seed=8)
+    radius, rf_radius = 0.8, 0.45
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    q = jnp.asarray(pts[:256])
+    vals, d, ok, _ = window_distances(grid, q)
+    dist_inf = jnp.where(ok & (d <= radius), d, jnp.inf)
+    _, rfs = shot_from_window_ff(q, vals, dist_inf, radius,
+                                 normalize=True, min_neighborhood_size=10)
+    # shared frames: fp-tight (identical bin decisions)
+    ref_desc, _ = shot_from_window_ff(q, vals, dist_inf, radius,
+                                      normalize=True,
+                                      min_neighborhood_size=10,
+                                      local_rfs=rfs)
+    dma_desc, _ = shot_descriptor_dma(grid, q, radius, rfs=rfs,
+                                      min_neighborhood_size=10)
+    np.testing.assert_allclose(np.asarray(dma_desc), np.asarray(ref_desc),
+                               atol=5e-3)
+    # bi-scale frames from the same window
+    rf_dist_inf = jnp.where(ok & (d <= rf_radius), d, jnp.inf)
+    ref_bi, ref_bi_rfs = shot_from_window_ff(
+        q, vals, dist_inf, radius, normalize=True, min_neighborhood_size=10,
+        rf_dist_inf=rf_dist_inf, rf_radius=rf_radius)
+    dma_bi, dma_bi_rfs = shot_descriptor_dma(
+        grid, q, radius, rf_radius=rf_radius, min_neighborhood_size=10)
+    np.testing.assert_allclose(np.asarray(dma_bi_rfs),
+                               np.asarray(ref_bi_rfs), atol=5e-4)
+    dd = np.abs(np.asarray(dma_bi) - np.asarray(ref_bi))
+    assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1
