@@ -39,6 +39,19 @@ def _use_fused_spfh() -> bool:
     return fused_kernels_enabled()
 
 
+def _use_dma_spfh(grid) -> bool:
+    """Route the sorted-order SPFH pass through the run-DMA kernel
+    (``ops.pallas_shot_dma.spfh_sorted_dma``) — fetch + Darboux + binning +
+    contraction in one program, no XLA gather.  Requires an xy-row grid
+    carrying normals extras (same gate as the SHOT DMA route)."""
+    from ..ops.pallas_radius import dma_kernel_enabled
+
+    return (dma_kernel_enabled()
+            and bool(getattr(grid, "use_xyrow", False))
+            and getattr(grid, "xyrow_run_cap", 0) > 0
+            and grid.packed_sorted.shape[1] >= 6)
+
+
 def compute_spfh(
     cloud_points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -324,7 +337,13 @@ def compute_fpfh_descriptor(
         # window indices for neighbor-SPFH fetches
         grid = build_grid(np.asarray(cloud), float(radius) / 2,
                           extras=np.asarray(normals, np.float32), halo=2)
-        spfh_sorted = _spfh_window_sorted(grid, radius, n_bins, decorrelated)
+        if _use_dma_spfh(grid):
+            from ..ops.pallas_shot_dma import spfh_sorted_dma
+
+            spfh_sorted = spfh_sorted_dma(grid, radius, n_bins, decorrelated)
+        else:
+            spfh_sorted = _spfh_window_sorted(grid, radius, n_bins,
+                                              decorrelated)
         inv_perm = jnp.zeros(cloud.shape[0], jnp.int32).at[grid.orig_idx].set(
             jnp.arange(cloud.shape[0], dtype=jnp.int32)
         )

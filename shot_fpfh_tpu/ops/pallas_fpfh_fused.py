@@ -69,8 +69,9 @@ def _darboux(vals_ref, dist_ref, params_ref):
     return alpha, phi, theta, valid.astype(jnp.float32)
 
 
-def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
-    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
+def _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref):
+    """Joint-mode binning + per-query factored contraction on loaded (QB, W)
+    angle planes (shared with the run-DMA kernel, ops/pallas_shot_dma.py)."""
     a_bin, a_in = _bin(alpha, -1.0, 1.0, n_bins)
     p_bin, p_in = _bin(phi, -1.0, 1.0, n_bins)
     t_bin, t_in = _bin(theta, -jnp.pi / 2, jnp.pi / 2, n_bins)
@@ -90,10 +91,11 @@ def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
         )
 
 
-def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
-    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
+def _spfh_hist_decorr(qb, w, n_bins, alpha, phi, theta, vf, out_ref):
+    """Decorrelated-mode masked row-sums on loaded angle planes (shared with
+    the run-DMA kernel)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_bins, w), 0)
-    # binning hoisted above the per-query loop (as in _joint_kernel): one
+    # binning hoisted above the per-query loop (as in the joint mode): one
     # (QB, W) pass per angle instead of qb (1, W) passes on full sublane
     # registers
     binned = []
@@ -108,6 +110,16 @@ def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
             for b, wgt in binned
         ]
         out_ref[qi] = jnp.stack(rows, axis=0)  # (3, n_bins)
+
+
+def _joint_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
+    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
+    _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref)
+
+
+def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
+    alpha, phi, theta, vf = _darboux(vals_ref, dist_ref, params_ref)
+    _spfh_hist_decorr(qb, w, n_bins, alpha, phi, theta, vf, out_ref)
 
 
 @functools.partial(jax.jit,

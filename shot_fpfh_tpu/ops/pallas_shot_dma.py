@@ -44,18 +44,11 @@ from .pallas_radius import TILE, _on_tpu, tile_table
 from .pallas_shot_fused import N_COS, N_LO, _binning_histogram_body
 
 
-def _dma_kernel(qb, n_runs, run_tiles, compute_rfs, has_rf,
-                radius_ref, runs_ref, seg_ref, params_ref, table_ref,
-                out_ref, *rest):
-    if compute_rfs:
-        rfs_out, cnt_ref = rest[0], rest[1]
-        scratch, sems, smem, smem_sem = rest[2:]
-        rfs_outs = [rfs_out]
-    else:
-        cnt_ref = rest[0]
-        scratch, sems, smem, smem_sem = rest[1:]
-        rfs_outs = []
-
+def _stream_planes(qb, n_runs, run_tiles, table_ref, runs_ref, seg_ref,
+                   scratch, sems, smem, smem_sem):
+    """Shared DMA prologue: copy the block's runs, assemble the batched
+    (QB, W) feature planes, and build the run-segment validity mask.
+    Returns ``(planes [6 x (QB, W)], valid (QB, W))``."""
     cp = pltpu.make_async_copy(runs_ref, smem, smem_sem)
     cp.start()
     cp.wait()
@@ -98,7 +91,25 @@ def _dma_kernel(qb, n_runs, run_tiles, compute_rfs, has_rf,
         s_j = seg_i[:, 2 * j:2 * j + 1]
         e_j = seg_i[:, 2 * j + 1:2 * j + 2]
         valid = valid | (in_run & (row_off >= s_j) & (row_off < e_j))
+    return planes, valid
 
+
+def _dma_kernel(qb, n_runs, run_tiles, compute_rfs, has_rf,
+                radius_ref, runs_ref, seg_ref, params_ref, table_ref,
+                out_ref, *rest):
+    if compute_rfs:
+        rfs_out, cnt_ref = rest[0], rest[1]
+        scratch, sems, smem, smem_sem = rest[2:]
+        rfs_outs = [rfs_out]
+    else:
+        cnt_ref = rest[0]
+        scratch, sems, smem, smem_sem = rest[1:]
+        rfs_outs = []
+
+    w = n_runs * run_tiles * TILE
+    planes, valid = _stream_planes(qb, n_runs, run_tiles, table_ref,
+                                   runs_ref, seg_ref, scratch, sems, smem,
+                                   smem_sem)
     p = params_ref[:]
     r = radius_ref[0, 0]
     dx = planes[0] - p[:, 0:1]
@@ -247,3 +258,160 @@ def shot_descriptor_dma(
         cnt = out[1].reshape(qp, 16)[:q, 0]
     desc = _shot_finalize(hist, cnt, normalize, min_neighborhood_size)
     return desc, rfs_out
+
+
+def _spfh_dma_kernel(qb, n_runs, run_tiles, n_bins, decorrelated,
+                     radius_ref, runs_ref, seg_ref, params_ref, table_ref,
+                     out_ref, cnt_ref, scratch, sems, smem, smem_sem):
+    """SPFH (FPFH pass 1) over run-DMA windows: Darboux + bins + contraction
+    via the bodies shared with ``pallas_fpfh_fused``."""
+    from .descriptor_bins import darboux_angles
+    from .pallas_fpfh_fused import _spfh_hist_decorr, _spfh_hist_joint
+    from .pallas_shot import _atan2
+
+    w = n_runs * run_tiles * TILE
+    planes, seg_valid = _stream_planes(qb, n_runs, run_tiles, table_ref,
+                                       runs_ref, seg_ref, scratch, sems,
+                                       smem, smem_sem)
+    p = params_ref[:]   # (QB, 16): [qx qy qz | unx uny unz | pad...]
+    r = radius_ref[0, 0]
+    dxb = planes[0] - p[:, 0:1]
+    dyb = planes[1] - p[:, 1:2]
+    dzb = planes[2] - p[:, 2:3]
+    rho2 = dxb * dxb + dyb * dyb + dzb * dzb
+    ok = seg_valid & (rho2 <= r * r)       # in-radius incl. self (the /count
+    valid = ok & (rho2 > 0)                # denominator); self excluded from
+    okf = ok                               # the bin weights (fpfh.py:62-88)
+    dx = jnp.where(okf, dxb, 0.0)
+    dy = jnp.where(okf, dyb, 0.0)
+    dz = jnp.where(okf, dzb, 0.0)
+    nx = jnp.where(okf, planes[3], 0.0)
+    ny = jnp.where(okf, planes[4], 0.0)
+    nz = jnp.where(okf, planes[5], 0.0)
+    ux, uy, uz = p[:, 3:4], p[:, 4:5], p[:, 5:6]
+    d_safe = jnp.where(valid, jnp.sqrt(rho2), 1.0)
+    alpha, phi, theta = darboux_angles(dx, dy, dz, nx, ny, nz, ux, uy, uz,
+                                       d_safe, atan2=_atan2)
+    vf = valid.astype(jnp.float32)
+
+    cnt = jnp.maximum(
+        jnp.sum(ok.astype(jnp.float32), axis=1, keepdims=True), 1.0)
+    cnt_ref[:] = jnp.concatenate(
+        [cnt, jnp.zeros((qb, 15), jnp.float32)], axis=1)
+
+    if decorrelated:
+        _spfh_hist_decorr(qb, w, n_bins, alpha, phi, theta, vf, out_ref)
+    else:
+        _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "decorrelated", "qb", "chunk",
+                              "interpret"),
+)
+def spfh_sorted_dma(
+    grid,
+    radius,
+    n_bins: int,
+    decorrelated: bool,
+    qb: int = 8,
+    chunk: int = 8192,
+    interpret: bool | None = None,
+):
+    """SPFH for every cloud point in grid-SORTED order via run-DMA windows —
+    the DMA counterpart of ``models.fpfh._spfh_window_sorted`` (same
+    contract: count-normalized (N_pad, D), queries are the sorted points,
+    query normals from the grid extras).  At the 1M-point scale this pass is
+    the dominant FPFH term; the DMA fetch replaces its index-bound gather."""
+    from .grid_hash import _xyrow_runs
+
+    assert getattr(grid, "use_xyrow", False) and grid.xyrow_run_cap > 0
+    assert grid.packed_sorted.shape[1] >= 6, "grid needs extras=normals"
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    pts = grid.packed_sorted[:, :3]
+    nrm = grid.packed_sorted[:, 3:6]
+    n = pts.shape[0]
+    n_runs = 2 * grid.halo + 1
+    nt = -(-n // TILE)
+    run_tiles = min(-(-int(grid.xyrow_run_cap) // TILE) + 1, nt)
+    table = tile_table(grid.packed_sorted[:, :6], 8)
+
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    pts_p = jnp.pad(pts, ((0, padded - n), (0, 0)), constant_values=1.0e6)
+    nrm_p = jnp.pad(nrm, ((0, padded - n), (0, 0)))
+    radius_arr = jnp.stack([
+        jnp.asarray(radius, jnp.float32), jnp.asarray(radius, jnp.float32),
+    ]).reshape(1, 2)
+    d_out = 3 * n_bins if decorrelated else n_bins ** 3
+
+    def one(args):
+        qc, qn = args
+        start, end = _xyrow_runs(grid, qc)
+        t = jnp.clip(start // TILE, 0, max(nt - run_tiles, 0))
+        s_off = start - t * TILE
+        e_off = jnp.maximum(end - t * TILE, s_off)
+        runs_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
+        seg_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
+        for j in range(n_runs):
+            runs_cols[3 * j] = t[:, j]
+            runs_cols[3 * j + 1] = s_off[:, j]
+            runs_cols[3 * j + 2] = e_off[:, j]
+            seg_cols[2 * j] = s_off[:, j]
+            seg_cols[2 * j + 1] = e_off[:, j]
+        runs = jnp.pad(jnp.stack(runs_cols, axis=1), ((0, 0), (0, 96)))
+        seg = jnp.stack(seg_cols, axis=1)
+        params = jnp.concatenate([qc, qn, jnp.zeros((chunk, 10))], axis=1)
+
+        if decorrelated:
+            out_shape = [jax.ShapeDtypeStruct((chunk, 3, n_bins), jnp.float32)]
+            out_spec = [pl.BlockSpec((qb, 3, n_bins), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+        else:
+            out_shape = [jax.ShapeDtypeStruct((chunk, n_bins, n_bins ** 2),
+                                              jnp.float32)]
+            out_spec = [pl.BlockSpec((qb, n_bins, n_bins ** 2),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+        out_shape.append(jax.ShapeDtypeStruct((chunk, 16), jnp.float32))
+        out_spec.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+
+        kernel = functools.partial(_spfh_dma_kernel, qb, n_runs, run_tiles,
+                                   n_bins, decorrelated)
+        hist, cnt = pl.pallas_call(
+            kernel,
+            grid=(chunk // qb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((qb, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qb, 32), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=out_shape,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((qb, n_runs, run_tiles, 8, TILE), jnp.float32),
+                pltpu.SemaphoreType.DMA((qb,)),
+                pltpu.SMEM((qb, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(radius_arr, runs, seg, params, table)
+        if decorrelated:
+            # (C, 3, n_bins) -> reference interleave (fpfh.py:62-88)
+            hist = jnp.swapaxes(hist, 1, 2).reshape(chunk, 3 * n_bins)
+        else:
+            hist = hist.reshape(chunk, n_bins ** 3)
+        return hist / cnt[:, 0:1]
+
+    out = jax.lax.map(one, (pts_p.reshape(n_chunks, chunk, 3),
+                            nrm_p.reshape(n_chunks, chunk, 3)))
+    return out.reshape(padded, d_out)

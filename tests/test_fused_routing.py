@@ -157,3 +157,41 @@ def test_dma_route_matches_xla_window(monkeypatch, rng):
     dd = np.abs(np.asarray(dma_desc) - np.asarray(ref_desc))
     assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1, (
         dd.max(), (dd > 5e-3).mean())
+
+
+@pytest.mark.slow
+def test_fpfh_dma_route_matches_staged(rng, monkeypatch):
+    """With the DMA gate on, compute_fpfh_descriptor's grid route sources
+    SPFH from the run-DMA kernel (ops/pallas_shot_dma.spfh_sorted_dma); the
+    aggregation pass is shared, so descriptors must match the gather path up
+    to rare atan2 bin flips."""
+    import shot_fpfh_tpu.ops.grid_hash as gh
+    import shot_fpfh_tpu.ops.pallas_shot_dma as psd
+    from shot_fpfh_tpu.ops import dma_kernel_enabled, set_dma_kernel
+
+    n = 2600
+    xy = rng.uniform(-3, 3, size=(n, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(n, 3))).astype(np.float32)
+    nrm = rng.normal(size=(n, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+    kp = np.arange(0, n, 9, dtype=np.int32)
+
+    monkeypatch.setattr(gh, "AUTO_GRID_MIN_POINTS", 2000)
+    ref = np.asarray(mf.compute_fpfh_descriptor(kp, pts, nrm, 0.7))
+
+    monkeypatch.setattr(
+        psd, "spfh_sorted_dma",
+        functools.partial(psd.spfh_sorted_dma, chunk=512, interpret=True),
+    )
+    prior = dma_kernel_enabled()
+    set_dma_kernel(True)
+    try:
+        got = np.asarray(mf.compute_fpfh_descriptor(kp, pts, nrm, 0.7))
+    finally:
+        set_dma_kernel(prior)
+    assert got.shape == ref.shape
+    dd = np.abs(got - ref)
+    assert (dd > 1e-3).mean() <= 1e-3, (dd.max(), (dd > 1e-3).mean())
+    assert np.abs(got).sum() > 0

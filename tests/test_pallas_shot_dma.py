@@ -95,3 +95,31 @@ def test_dma_shot_bi_scale_and_padding(rng):
     # the far query has no window: zero descriptor, identity frame
     assert not np.any(np.asarray(dma_desc)[42])
     np.testing.assert_allclose(np.asarray(dma_rfs)[42], np.eye(3), atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("decorrelated", [False, True])
+def test_spfh_sorted_dma_matches_window_path(rng, decorrelated):
+    """SPFH over run-DMA windows == the grouped-gather window SPFH pass
+    (models.fpfh._spfh_window_sorted): same Darboux conventions and
+    histogram layout; only θ comes from the Mosaic atan2 (~1e-6 rad), so
+    at most a vanishing fraction of hard-bin flips."""
+    from shot_fpfh_tpu.models.fpfh import _spfh_window_sorted
+    from shot_fpfh_tpu.ops.pallas_shot_dma import spfh_sorted_dma
+
+    pts, nrm = _surface(2600, rng, scale=3.0)
+    radius = 0.7
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    assert grid.use_xyrow and grid.xyrow_run_cap > 0
+    ref = np.asarray(_spfh_window_sorted(grid, radius, 5, decorrelated,
+                                         chunk=512))
+    got = np.asarray(spfh_sorted_dma(grid, radius, 5, decorrelated,
+                                     chunk=512))
+    assert got.shape == ref.shape
+    dd = np.abs(got - ref)
+    # bin flips move 1/count between two bins; allow a per-mille of them
+    assert (dd > 1e-4).mean() <= 1e-3, (dd.max(), (dd > 1e-4).mean())
+    # row mass is invariant under flips: it must agree tightly everywhere
+    np.testing.assert_allclose(got.sum(axis=1), ref.sum(axis=1), atol=1e-3)
+    n = pts.shape[0]
+    assert np.abs(got[:n]).sum() > 0

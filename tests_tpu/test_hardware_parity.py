@@ -244,3 +244,24 @@ def test_dma_shot_kernel_shared_and_biscale_on_tpu():
                                np.asarray(ref_bi_rfs), atol=5e-4)
     dd = np.abs(np.asarray(dma_bi) - np.asarray(ref_bi))
     assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1
+
+
+def test_dma_spfh_kernel_matches_xla_on_tpu():
+    # Mosaic lowering of the run-DMA SPFH pass (FPFH pass 1): run-copy DMAs
+    # + in-kernel Darboux/binning/contraction vs the grouped-gather pass
+    from shot_fpfh_tpu.models.fpfh import _spfh_window_sorted
+    from shot_fpfh_tpu.ops.grid_hash import build_grid
+    from shot_fpfh_tpu.ops.pallas_shot_dma import spfh_sorted_dma
+
+    pts, nrm = _cloud(n=20000, seed=9)
+    radius = 0.7
+    grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
+    assert grid.use_xyrow and grid.xyrow_run_cap > 0
+    for decorrelated in (False, True):
+        ref = np.asarray(_spfh_window_sorted(grid, radius, 5, decorrelated))
+        got = np.asarray(spfh_sorted_dma(grid, radius, 5, decorrelated))
+        assert got.shape == ref.shape
+        dd = np.abs(got - ref)
+        assert (dd > 1e-4).mean() <= 1e-3, (dd.max(), (dd > 1e-4).mean())
+        np.testing.assert_allclose(got.sum(axis=1), ref.sum(axis=1),
+                                   atol=1e-3)
