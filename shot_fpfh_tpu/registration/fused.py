@@ -105,9 +105,16 @@ def _fpfh(kp_idx, valid, sup, nrm, radius, k_max, n_bins, decorrelated,
     and original cloud indices otherwise; invalid (padding) rows zero out so
     matching's nonzero-row convention treats them like empty SHOT rows."""
     if grid is not None:
-        from ..models.fpfh import _fpfh_window_aggregate, _spfh_window_sorted
+        from ..models.fpfh import (_fpfh_window_aggregate, _spfh_window_sorted,
+                                   _use_dma_spfh)
 
-        spfh_sorted = _spfh_window_sorted(grid, radius, n_bins, decorrelated)
+        if _use_dma_spfh(grid):
+            from ..ops.pallas_shot_dma import spfh_sorted_dma
+
+            spfh_sorted = spfh_sorted_dma(grid, radius, n_bins, decorrelated)
+        else:
+            spfh_sorted = _spfh_window_sorted(grid, radius, n_bins,
+                                              decorrelated)
         desc = _fpfh_window_aggregate(grid, spfh_sorted, kp_idx, radius)
     else:
         from ..models.fpfh import _fpfh_aggregate, _spfh_from_values
