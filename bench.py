@@ -318,7 +318,45 @@ def _pallas_hardware_check(log, interpret: bool = False) -> str:
     got_f = spfh_histogram(vals_ff, dist_inf, jnp.asarray(kp), jnp.asarray(qn),
                            5, False, interpret=interpret)
     np.testing.assert_allclose(np.asarray(got_f), ref_f, atol=1e-4)
-    log("pallas hardware check: radius DMA + fused SHOT + fused SPFH all match XLA")
+
+    # run-DMA SHOT + SPFH kernels (fetch in-kernel): need an xy-row grid with
+    # normals extras; the bench terrain selects xy-row at every size
+    from shot_fpfh_tpu.models.fpfh import _spfh_window_sorted
+    from shot_fpfh_tpu.ops.grid_hash import window_distances
+    from shot_fpfh_tpu.ops.pallas_shot_dma import (shot_descriptor_dma,
+                                                   spfh_sorted_dma)
+
+    nrm_c = rng.normal(size=(pts.shape[0], 3))
+    nrm_c = (nrm_c / np.linalg.norm(nrm_c, axis=1, keepdims=True)).astype(np.float32)
+    grid_n = build_grid(pts, radius / 2, extras=nrm_c, halo=2)
+    if grid_n.use_xyrow and grid_n.xyrow_run_cap > 0:
+        q32 = jnp.asarray(pts[:32])
+        vals_w, d_w, ok_w, _ = window_distances(grid_n, q32)
+        dist_w = jnp.where(ok_w & (d_w <= radius), d_w, jnp.inf)
+        ref_d, ref_r = ms.shot_from_window_ff(
+            q32, vals_w, dist_w, radius, normalize=True,
+            min_neighborhood_size=10)
+        got_d, got_r = shot_descriptor_dma(grid_n, q32, radius,
+                                           min_neighborhood_size=10,
+                                           interpret=interpret)
+        if np.abs(np.asarray(got_r) - np.asarray(ref_r)).max() > 5e-4:
+            raise AssertionError("DMA SHOT kernel: frames mismatch")
+        dd = np.abs(np.asarray(got_d) - np.asarray(ref_d))
+        if (dd > 5e-3).mean() > 1e-3 or dd.max() > 0.1:
+            raise AssertionError(
+                f"DMA SHOT kernel mismatch: max {dd.max():.4f}")
+        ref_s = np.asarray(_spfh_window_sorted(grid_n, radius, 5, False,
+                                               chunk=1024))
+        got_s = np.asarray(spfh_sorted_dma(grid_n, radius, 5, False,
+                                           chunk=1024, interpret=interpret))
+        ds = np.abs(got_s - ref_s)
+        if (ds > 1e-4).mean() > 1e-3:
+            raise AssertionError(
+                f"DMA SPFH kernel mismatch: max {ds.max():.4f}")
+        log("pallas hardware check: radius DMA + fused SHOT/SPFH + "
+            "run-DMA SHOT/SPFH all match XLA")
+    else:
+        log("pallas hardware check: grid not xy-row, run-DMA kernels skipped")
     return "passed"
 
 
