@@ -306,6 +306,100 @@ def _spfh_dma_kernel(qb, n_runs, run_tiles, n_bins, decorrelated,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n_bins", "decorrelated", "qb", "interpret"),
+)
+def spfh_block_dma(
+    grid,
+    table,
+    qc: jnp.ndarray,    # (C, 3) queries; rows at 1.0e6 are padding
+    qn: jnp.ndarray,    # (C, 3) query normals
+    radius,
+    n_bins: int,
+    decorrelated: bool,
+    qb: int = 8,
+    interpret: bool | None = None,
+):
+    """One (C,)-query block of count-normalized SPFH via run-DMA windows.
+    ``table`` is ``tile_table(grid.packed_sorted[:, :6], 8)`` (hoisted so
+    chunked/sharded callers build it once).  C must be a multiple of qb."""
+    from .grid_hash import _xyrow_runs
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    chunk = qc.shape[0]
+    n = grid.packed_sorted.shape[0]
+    n_runs = 2 * grid.halo + 1
+    nt = -(-n // TILE)
+    run_tiles = min(-(-int(grid.xyrow_run_cap) // TILE) + 1, nt)
+    radius_arr = jnp.stack([
+        jnp.asarray(radius, jnp.float32), jnp.asarray(radius, jnp.float32),
+    ]).reshape(1, 2)
+
+    start, end = _xyrow_runs(grid, qc)
+    t = jnp.clip(start // TILE, 0, max(nt - run_tiles, 0))
+    s_off = start - t * TILE
+    e_off = jnp.maximum(end - t * TILE, s_off)
+    runs_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
+    seg_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
+    for j in range(n_runs):
+        runs_cols[3 * j] = t[:, j]
+        runs_cols[3 * j + 1] = s_off[:, j]
+        runs_cols[3 * j + 2] = e_off[:, j]
+        seg_cols[2 * j] = s_off[:, j]
+        seg_cols[2 * j + 1] = e_off[:, j]
+    runs = jnp.pad(jnp.stack(runs_cols, axis=1), ((0, 0), (0, 96)))
+    seg = jnp.stack(seg_cols, axis=1)
+    params = jnp.concatenate([qc, qn, jnp.zeros((chunk, 10))], axis=1)
+
+    if decorrelated:
+        out_shape = [jax.ShapeDtypeStruct((chunk, 3, n_bins), jnp.float32)]
+        out_spec = [pl.BlockSpec((qb, 3, n_bins), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((chunk, n_bins, n_bins ** 2),
+                                          jnp.float32)]
+        out_spec = [pl.BlockSpec((qb, n_bins, n_bins ** 2),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+    out_shape.append(jax.ShapeDtypeStruct((chunk, 16), jnp.float32))
+    out_spec.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_spfh_dma_kernel, qb, n_runs, run_tiles,
+                               n_bins, decorrelated)
+    hist, cnt = pl.pallas_call(
+        kernel,
+        grid=(chunk // qb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 32), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=out_shape,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((qb, n_runs, run_tiles, 8, TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((qb,)),
+            pltpu.SMEM((qb, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(radius_arr, runs, seg, params, table)
+    if decorrelated:
+        # (C, 3, n_bins) -> reference interleave (fpfh.py:62-88)
+        hist = jnp.swapaxes(hist, 1, 2).reshape(chunk, 3 * n_bins)
+    else:
+        hist = hist.reshape(chunk, n_bins ** 3)
+    return hist / cnt[:, 0:1]
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_bins", "decorrelated", "qb", "chunk",
                               "interpret"),
 )
@@ -323,8 +417,6 @@ def spfh_sorted_dma(
     contract: count-normalized (N_pad, D), queries are the sorted points,
     query normals from the grid extras).  At the 1M-point scale this pass is
     the dominant FPFH term; the DMA fetch replaces its index-bound gather."""
-    from .grid_hash import _xyrow_runs
-
     assert getattr(grid, "use_xyrow", False) and grid.xyrow_run_cap > 0
     assert grid.packed_sorted.shape[1] >= 6, "grid needs extras=normals"
     if interpret is None:
@@ -333,84 +425,17 @@ def spfh_sorted_dma(
     pts = grid.packed_sorted[:, :3]
     nrm = grid.packed_sorted[:, 3:6]
     n = pts.shape[0]
-    n_runs = 2 * grid.halo + 1
-    nt = -(-n // TILE)
-    run_tiles = min(-(-int(grid.xyrow_run_cap) // TILE) + 1, nt)
     table = tile_table(grid.packed_sorted[:, :6], 8)
 
     n_chunks = -(-n // chunk)
     padded = n_chunks * chunk
     pts_p = jnp.pad(pts, ((0, padded - n), (0, 0)), constant_values=1.0e6)
     nrm_p = jnp.pad(nrm, ((0, padded - n), (0, 0)))
-    radius_arr = jnp.stack([
-        jnp.asarray(radius, jnp.float32), jnp.asarray(radius, jnp.float32),
-    ]).reshape(1, 2)
     d_out = 3 * n_bins if decorrelated else n_bins ** 3
 
     def one(args):
-        qc, qn = args
-        start, end = _xyrow_runs(grid, qc)
-        t = jnp.clip(start // TILE, 0, max(nt - run_tiles, 0))
-        s_off = start - t * TILE
-        e_off = jnp.maximum(end - t * TILE, s_off)
-        runs_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
-        seg_cols = [jnp.zeros((chunk,), jnp.int32)] * 32
-        for j in range(n_runs):
-            runs_cols[3 * j] = t[:, j]
-            runs_cols[3 * j + 1] = s_off[:, j]
-            runs_cols[3 * j + 2] = e_off[:, j]
-            seg_cols[2 * j] = s_off[:, j]
-            seg_cols[2 * j + 1] = e_off[:, j]
-        runs = jnp.pad(jnp.stack(runs_cols, axis=1), ((0, 0), (0, 96)))
-        seg = jnp.stack(seg_cols, axis=1)
-        params = jnp.concatenate([qc, qn, jnp.zeros((chunk, 10))], axis=1)
-
-        if decorrelated:
-            out_shape = [jax.ShapeDtypeStruct((chunk, 3, n_bins), jnp.float32)]
-            out_spec = [pl.BlockSpec((qb, 3, n_bins), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM)]
-        else:
-            out_shape = [jax.ShapeDtypeStruct((chunk, n_bins, n_bins ** 2),
-                                              jnp.float32)]
-            out_spec = [pl.BlockSpec((qb, n_bins, n_bins ** 2),
-                                     lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM)]
-        out_shape.append(jax.ShapeDtypeStruct((chunk, 16), jnp.float32))
-        out_spec.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
-
-        kernel = functools.partial(_spfh_dma_kernel, qb, n_runs, run_tiles,
-                                   n_bins, decorrelated)
-        hist, cnt = pl.pallas_call(
-            kernel,
-            grid=(chunk // qb,),
-            in_specs=[
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((qb, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((qb, 32), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((qb, 16), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_shape=out_shape,
-            out_specs=out_spec,
-            scratch_shapes=[
-                pltpu.VMEM((qb, n_runs, run_tiles, 8, TILE), jnp.float32),
-                pltpu.SemaphoreType.DMA((qb,)),
-                pltpu.SMEM((qb, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            interpret=interpret,
-        )(radius_arr, runs, seg, params, table)
-        if decorrelated:
-            # (C, 3, n_bins) -> reference interleave (fpfh.py:62-88)
-            hist = jnp.swapaxes(hist, 1, 2).reshape(chunk, 3 * n_bins)
-        else:
-            hist = hist.reshape(chunk, n_bins ** 3)
-        return hist / cnt[:, 0:1]
+        return spfh_block_dma(grid, table, args[0], args[1], radius, n_bins,
+                              decorrelated, qb=qb, interpret=interpret)
 
     out = jax.lax.map(one, (pts_p.reshape(n_chunks, chunk, 3),
                             nrm_p.reshape(n_chunks, chunk, 3)))

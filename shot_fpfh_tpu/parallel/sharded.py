@@ -416,9 +416,11 @@ def sharded_fpfh(
         # path): SPFH computed over EXACT uncapped windows in grid-sorted
         # order, sharded by row index; the aggregation re-gathers neighbor
         # SPFH with the same grouped window indices
-        from ..models.fpfh import _fpfh_window_agg_block, _spfh_window_block
+        from ..models.fpfh import (_fpfh_window_agg_block, _spfh_window_block,
+                                   _use_dma_spfh)
 
         grid = build_grid(cloud, float(radius) / 2, extras=nrm, halo=2)
+        use_dma = _use_dma_spfh(grid)
         orig_idx_np = np.asarray(grid.orig_idx)
         grid = jax.tree_util.tree_map(lambda x: replicate(np.asarray(x), mesh), grid)
         grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
@@ -435,10 +437,20 @@ def sharded_fpfh(
             out_specs=P(POINTS_AXIS, None),
         )
         def pass1(idx_blk, grid_rep):
+            if use_dma:
+                from ..ops.pallas_radius import tile_table
+                from ..ops.pallas_shot_dma import spfh_block_dma
+
+                table = tile_table(grid_rep.packed_sorted[:, :6], 8)
+
             def one(ib):
                 safe = jnp.minimum(ib, n - 1)
                 rowvals = grid_rep.packed_sorted[safe]
                 qc = jnp.where((ib < n)[:, None], rowvals[:, :3], 1.0e6)
+                if use_dma:
+                    return spfh_block_dma(grid_rep, table, qc,
+                                          rowvals[:, 3:6], radius, n_bins,
+                                          decorrelated)
                 return _spfh_window_block(
                     grid_rep, qc, rowvals[:, 3:6], radius, n_bins, decorrelated
                 )
