@@ -106,16 +106,28 @@ def sharded_shot_descriptors(
 
     rf_spec = P(POINTS_AXIS, None, None)
     if use_grid:
-        from ..models.shot import shot_from_window_ff
+        from ..models.shot import _use_dma_kernel, shot_from_window_ff
         from ..ops.grid_hash import window_distances
 
         max_r = float(radius) if rf_radius is None else float(max(radius, rf_radius))
         grid = build_grid(np.asarray(support, np.float32), max_r / 2,
                           extras=np.asarray(normals, np.float32), halo=2)
+        use_dma = _use_dma_kernel(grid)
         grid = jax.tree_util.tree_map(lambda x: replicate(np.asarray(x), mesh), grid)
         grid_specs = jax.tree_util.tree_map(lambda _: P(), grid)
 
         def window_body(kp_block, rfs_block, grid_rep):
+            if use_dma:
+                # run-DMA fused kernel: fetch + LRF + binning + histogram in
+                # one program per keypoint block, no XLA gather
+                from ..ops.pallas_shot_dma import shot_descriptor_dma
+
+                return shot_descriptor_dma(
+                    grid_rep, kp_block, radius, rfs=rfs_block,
+                    rf_radius=rf_radius if rfs_block is None else None,
+                    normalize=normalize,
+                    min_neighborhood_size=min_neighborhood_size,
+                )
             # grouped feature-planar window fetch + no-top-k SHOT — the same
             # exact-uncapped formulation as the single-device grid path
             vals, d, win_ok, _rows = window_distances(grid_rep, kp_block)

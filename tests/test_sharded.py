@@ -261,3 +261,51 @@ def test_sharded_icp_grid_parity_large_ref(mesh):
         atol=5e-3,
     )
     assert n_iters == single.n_iters
+
+
+@pytest.mark.slow
+def test_sharded_shot_dma_route_matches_gather(mesh):
+    """With the DMA gate on, the sharded SHOT grid path runs the run-DMA
+    fused kernel (fetch+LRF+binning+histogram) inside shard_map; all three
+    modes (in-kernel frames, shared frames, bi-scale) must match the
+    grouped-gather mesh route within the Jacobi-vs-eigh flip tolerance."""
+    from shot_fpfh_tpu.ops import set_dma_kernel
+    from shot_fpfh_tpu.ops.pallas_radius import dma_kernel_enabled
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    xy = rng.uniform(-4, 4, size=(n, 2))
+    z = 0.4 * np.sin(1.2 * xy[:, 0]) * np.cos(xy[:, 1])
+    pts = (np.column_stack([xy, z])
+           + rng.normal(scale=0.01, size=(n, 3))).astype(np.float32)
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    kp = pts[:48]
+
+    def run(**kw):
+        return sharded_shot_descriptors(
+            kp, pts, normals, 0.8, mesh, min_neighborhood_size=5,
+            use_grid=True, return_rfs=True, **kw)
+
+    ref_desc, ref_rfs = run()
+    ref_bi, _ = run(rf_radius=0.45)
+    ref_shared, _ = run(shared_rfs=ref_rfs)
+    prior = dma_kernel_enabled()
+    set_dma_kernel(True)
+    try:
+        dma_desc, dma_rfs = run()
+        dma_bi, _ = run(rf_radius=0.45)
+        dma_shared, _ = run(shared_rfs=ref_rfs)
+    finally:
+        set_dma_kernel(prior)
+
+    np.testing.assert_allclose(np.asarray(dma_rfs), np.asarray(ref_rfs),
+                               atol=5e-4)
+    for got, ref in ((dma_desc, ref_desc), (dma_bi, ref_bi)):
+        dd = np.abs(np.asarray(got) - np.asarray(ref))
+        assert (dd > 5e-3).mean() <= 1e-3 and dd.max() <= 0.1, (
+            dd.max(), (dd > 5e-3).mean())
+    # shared frames: same bin decisions, fp-tight
+    np.testing.assert_allclose(np.asarray(dma_shared),
+                               np.asarray(ref_shared), atol=5e-3)
+    assert np.abs(np.asarray(dma_desc)).sum() > 0
