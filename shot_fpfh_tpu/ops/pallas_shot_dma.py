@@ -44,6 +44,28 @@ from .pallas_radius import TILE, _on_tpu, tile_table
 from .pallas_shot_fused import N_COS, N_LO, _binning_histogram_body
 
 
+def _align_vma(arrays):
+    """Inside ``shard_map`` (``check_vma=True``, the default) every
+    ``pallas_call`` operand must agree on its varying-mesh-axes set and the
+    out ``ShapeDtypeStruct`` must declare one; outside shard_map this is a
+    no-op.  Returns ``(aligned_arrays, vma-or-None)`` — replicated operands
+    (the tiled table, the radius scalars) are ``pcast`` to varying over the
+    union of the block inputs' axes (the keypoint shard axis)."""
+    vma = frozenset()
+    for x in arrays:
+        vma |= getattr(jax.typeof(x), "vma", frozenset())
+    if not vma:
+        return list(arrays), None
+
+    def cast(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        if not missing:
+            return x
+        return jax.lax.pcast(x, tuple(sorted(missing)), to="varying")
+
+    return [cast(x) for x in arrays], vma
+
+
 def _stream_planes(qb, n_runs, run_tiles, table_ref, runs_ref, seg_ref,
                    scratch, sems, smem, smem_sem):
     """Shared DMA prologue: copy the block's runs, assemble the batched
@@ -212,14 +234,18 @@ def shot_descriptor_dma(
         jnp.asarray(radius if rf_radius is None else rf_radius, jnp.float32),
     ]).reshape(1, 2)
 
-    out_shapes = [jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32)]
+    (radius_arr, runs, seg, params, table), vma = _align_vma(
+        (radius_arr, runs, seg, params, table))
+    out_shapes = [jax.ShapeDtypeStruct((qp, N_COS, N_LO), jnp.float32,
+                                       vma=vma)]
     out_specs = [pl.BlockSpec((qb, N_COS, N_LO), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     if compute_rfs:
-        out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32,
+                                               vma=vma))
         out_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
-    out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32))
+    out_shapes.append(jax.ShapeDtypeStruct((qp, 16), jnp.float32, vma=vma))
     out_specs.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
 
@@ -351,17 +377,20 @@ def spfh_block_dma(
     seg = jnp.stack(seg_cols, axis=1)
     params = jnp.concatenate([qc, qn, jnp.zeros((chunk, 10))], axis=1)
 
+    (radius_arr, runs, seg, params, table), vma = _align_vma(
+        (radius_arr, runs, seg, params, table))
     if decorrelated:
-        out_shape = [jax.ShapeDtypeStruct((chunk, 3, n_bins), jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((chunk, 3, n_bins), jnp.float32,
+                                          vma=vma)]
         out_spec = [pl.BlockSpec((qb, 3, n_bins), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
     else:
         out_shape = [jax.ShapeDtypeStruct((chunk, n_bins, n_bins ** 2),
-                                          jnp.float32)]
+                                          jnp.float32, vma=vma)]
         out_spec = [pl.BlockSpec((qb, n_bins, n_bins ** 2),
                                  lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
-    out_shape.append(jax.ShapeDtypeStruct((chunk, 16), jnp.float32))
+    out_shape.append(jax.ShapeDtypeStruct((chunk, 16), jnp.float32, vma=vma))
     out_spec.append(pl.BlockSpec((qb, 16), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
 

@@ -145,12 +145,16 @@ def sharded_shot_descriptors(
                 rf_radius=rf_radius if rf_dist_inf is not None else None,
             )
 
+        # interpret-mode Pallas can't thread varying-manual-axes through its
+        # jaxpr eval (JAX asks for check_vma=False as the workaround); the
+        # real-TPU Mosaic lowering is covered by the kernel's _align_vma
         if rfs_in is None:
             @jax.jit
             @functools.partial(
                 jax.shard_map, mesh=mesh,
                 in_specs=(P(POINTS_AXIS, None), grid_specs),
                 out_specs=(P(POINTS_AXIS, None), rf_spec),
+                check_vma=not use_dma,
             )
             def compute_grid(kp_block, grid_rep):
                 return window_body(kp_block, None, grid_rep)
@@ -162,6 +166,7 @@ def sharded_shot_descriptors(
                 jax.shard_map, mesh=mesh,
                 in_specs=(P(POINTS_AXIS, None), rf_spec, grid_specs),
                 out_specs=(P(POINTS_AXIS, None), rf_spec),
+                check_vma=not use_dma,
             )
             def compute_grid_rfs(kp_block, rfs_block, grid_rep):
                 return window_body(kp_block, rfs_block, grid_rep)
@@ -447,6 +452,11 @@ def sharded_fpfh(
             jax.shard_map, mesh=mesh,
             in_specs=(P(POINTS_AXIS), grid_specs),
             out_specs=P(POINTS_AXIS, None),
+            # interpret-mode Pallas can't thread varying-manual-axes through
+            # its jaxpr eval (JAX asks for check_vma=False as the
+            # workaround); the real-TPU Mosaic lowering is covered by the
+            # kernel's own _align_vma handling
+            check_vma=not use_dma,
         )
         def pass1(idx_blk, grid_rep):
             if use_dma:

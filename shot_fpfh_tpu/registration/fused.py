@@ -62,8 +62,22 @@ def _shot(kp, valid, sup, nrm, radius, k_max, min_nb, grid=None,
         # exact uncapped radius neighborhoods at ~2x the selected-k
         # throughput (requires the grid built with extras=normals and a cell
         # covering max(radius, rf_radius))
-        from ..models.shot import shot_from_window_ff
+        from ..models.shot import _use_dma_kernel, shot_from_window_ff
         from ..ops.grid_hash import window_distances
+
+        if _use_dma_kernel(grid):
+            # run-DMA fused kernel: no XLA gather; padding keypoints are
+            # zeroed post-hoc (the gather path folds ``valid`` into the
+            # window mask instead — same per-row result)
+            from ..ops.pallas_shot_dma import shot_descriptor_dma
+
+            desc, rfs = shot_descriptor_dma(
+                grid, kp, radius, rfs=local_rfs,
+                rf_radius=rf_radius if local_rfs is None else None,
+                normalize=True, min_neighborhood_size=min_nb,
+            )
+            desc = jnp.where(valid[:, None], desc, 0.0)
+            return (desc, rfs) if return_rfs else desc
 
         vals, d, win_ok, _rows = window_distances(grid, kp)
         ok = win_ok & (d <= radius) & valid[:, None]

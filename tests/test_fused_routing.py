@@ -167,7 +167,6 @@ def test_fpfh_dma_route_matches_staged(rng, monkeypatch):
     to rare atan2 bin flips."""
     import shot_fpfh_tpu.ops.grid_hash as gh
     import shot_fpfh_tpu.ops.pallas_shot_dma as psd
-    from shot_fpfh_tpu.ops import dma_kernel_enabled, set_dma_kernel
 
     n = 2600
     xy = rng.uniform(-3, 3, size=(n, 2))
@@ -181,16 +180,22 @@ def test_fpfh_dma_route_matches_staged(rng, monkeypatch):
     monkeypatch.setattr(gh, "AUTO_GRID_MIN_POINTS", 2000)
     ref = np.asarray(mf.compute_fpfh_descriptor(kp, pts, nrm, 0.7))
 
-    monkeypatch.setattr(
-        psd, "spfh_sorted_dma",
-        functools.partial(psd.spfh_sorted_dma, chunk=512, interpret=True),
-    )
-    prior = dma_kernel_enabled()
-    set_dma_kernel(True)
-    try:
-        got = np.asarray(mf.compute_fpfh_descriptor(kp, pts, nrm, 0.7))
-    finally:
-        set_dma_kernel(prior)
+    # the real gate is TPU-only (interpret Pallas loses to XLA on CPU):
+    # force it open to exercise the routing branch, like _use_dma_kernel
+    # in test_dma_route_matches_xla_window above; the spy proves the DMA
+    # pass actually ran
+    calls = []
+    orig = psd.spfh_sorted_dma
+
+    def spy(grid, radius, n_bins, decorrelated, **kw):
+        calls.append(1)
+        kw.update(chunk=512, interpret=True)
+        return orig(grid, radius, n_bins, decorrelated, **kw)
+
+    monkeypatch.setattr(psd, "spfh_sorted_dma", spy)
+    monkeypatch.setattr(mf, "_use_dma_spfh", lambda grid: True)
+    got = np.asarray(mf.compute_fpfh_descriptor(kp, pts, nrm, 0.7))
+    assert calls, "DMA route was not taken"
     assert got.shape == ref.shape
     dd = np.abs(got - ref)
     assert (dd > 1e-3).mean() <= 1e-3, (dd.max(), (dd > 1e-3).mean())

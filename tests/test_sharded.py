@@ -269,8 +269,8 @@ def test_sharded_shot_dma_route_matches_gather(mesh):
     fused kernel (fetch+LRF+binning+histogram) inside shard_map; all three
     modes (in-kernel frames, shared frames, bi-scale) must match the
     grouped-gather mesh route within the Jacobi-vs-eigh flip tolerance."""
-    from shot_fpfh_tpu.ops import set_dma_kernel
-    from shot_fpfh_tpu.ops.pallas_radius import dma_kernel_enabled
+    import shot_fpfh_tpu.models.shot as ms
+    import shot_fpfh_tpu.ops.pallas_shot_dma as psd
 
     rng = np.random.default_rng(13)
     n = 6000
@@ -290,14 +290,22 @@ def test_sharded_shot_dma_route_matches_gather(mesh):
     ref_desc, ref_rfs = run()
     ref_bi, _ = run(rf_radius=0.45)
     ref_shared, _ = run(shared_rfs=ref_rfs)
-    prior = dma_kernel_enabled()
-    set_dma_kernel(True)
-    try:
+    # the real gate is TPU-only: force it open (interpret mode resolves
+    # automatically on CPU) and prove the DMA kernel actually ran
+    calls = []
+    orig = psd.shot_descriptor_dma
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(psd, "shot_descriptor_dma", spy)
+        mp.setattr(ms, "_use_dma_kernel", lambda grid: True)
         dma_desc, dma_rfs = run()
         dma_bi, _ = run(rf_radius=0.45)
         dma_shared, _ = run(shared_rfs=ref_rfs)
-    finally:
-        set_dma_kernel(prior)
+    assert calls, "DMA route was not taken"
 
     np.testing.assert_allclose(np.asarray(dma_rfs), np.asarray(ref_rfs),
                                atol=5e-4)
