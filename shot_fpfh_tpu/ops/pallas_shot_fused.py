@@ -246,16 +246,20 @@ def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
         def row(a, qi=qi):
             return a[qi:qi + 1, :]
 
+        # f32 operands: Mosaic rejects bf16 lhs in this A·B^T orientation
+        # ("Bad lhs type", first observed on the round-4 hardware run), and
+        # the proven ``pallas_shot._hist_kernel`` form is f32 anyway.  The
+        # dots are tiny (11×W · 32×W), so the MXU cost is negligible.
         oh_base = (row(base) == iota_lo).astype(jnp.float32)
         b1 = (
             oh_base * row(w_same)
             + (row(lo_husk) == iota_lo).astype(jnp.float32) * row(w_husk)
             + (row(lo_vert) == iota_lo).astype(jnp.float32) * row(w_vert)
             + (row(lo_az) == iota_lo).astype(jnp.float32) * row(w_az)
-        ).astype(jnp.bfloat16)
-        b2 = (oh_base * row(w_cnb)).astype(jnp.bfloat16)
-        a1 = (row(cos_bin) == iota_hi).astype(jnp.bfloat16)
-        a2 = (row(cos_nb) == iota_hi).astype(jnp.bfloat16)
+        )
+        b2 = oh_base * row(w_cnb)
+        a1 = (row(cos_bin) == iota_hi).astype(jnp.float32)
+        a2 = (row(cos_nb) == iota_hi).astype(jnp.float32)
         acc = jax.lax.dot_general(
             a1, b1, dimension_numbers=dims, preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(

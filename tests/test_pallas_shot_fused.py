@@ -44,8 +44,11 @@ def test_fused_kernel_matches_xla_histogram(rng):
         jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp), rfs,
         radius, interpret=True,
     )
-    # bf16 weight quantization bounds the per-bin error in both paths
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    # the XLA baseline quantizes weights to bf16 (models/shot.py); the
+    # kernel keeps f32 (Mosaic rejects bf16 lhs), so parity holds to the
+    # baseline's bf16 precision
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
     assert float(np.abs(np.asarray(got)).sum()) > 0
 
 
@@ -60,7 +63,8 @@ def test_fused_kernel_query_padding(rng):
         radius, interpret=True,
     )
     assert got.shape == (11, 352)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
 
 
 @pytest.mark.slow
@@ -83,7 +87,7 @@ def test_fused_kernel_in_kernel_rfs(rng):
                                atol=2e-4)
     ref_hist, _ = _xla_histogram(kp, vals_ff, dist_inf, radius, rfs=got_rfs)
     np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
-                               atol=5e-3)
+                               atol=5e-3, rtol=1e-2)
 
 
 def test_fused_kernel_in_kernel_rfs_empty(rng):
@@ -123,7 +127,7 @@ def test_fused_kernel_biscale_rf_plane(rng):
     ref_hist, _ = _xla_histogram(kp, vals_ff, desc_dist_inf, radius,
                                  rfs=got_rfs)
     np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
-                               atol=5e-3)
+                               atol=5e-3, rtol=1e-2)
 
 
 @pytest.mark.slow
