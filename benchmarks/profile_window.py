@@ -133,6 +133,23 @@ def main():
         timed("fetch + FUSED kernel (LRF+bin+hist)", full_desc, kp)
         timed("fetch + FUSED kernel + matching", full_match, kp)
         set_fused_kernels(False)
+        # run-DMA kernel: fetch happens IN the kernel (no XLA gather), so
+        # it replaces the whole fetch+LRF+bin+hist chain in one program
+        if grid.use_xyrow and grid.xyrow_run_cap > 0:
+            from shot_fpfh_tpu.ops.pallas_shot_dma import shot_descriptor_dma
+
+            def dma_desc(q):
+                return shot_descriptor_dma(grid, q, radius,
+                                           min_neighborhood_size=100)[0]
+
+            def dma_match(q):
+                desc = dma_desc(q)
+                idx, _ = nearest_descriptor(desc, desc,
+                                            jnp.ones(desc.shape[0], bool))
+                return desc, idx
+
+            timed("DMA kernel (fetch+LRF+bin+hist in-kernel)", dma_desc, kp)
+            timed("DMA kernel + matching", dma_match, kp)
     idx_count = n_kp * gc
     bytes_moved = idx_count * 8 * 8 * 4  # G=8 rows x 8 features x f32
     print(f"marginals: fetch {t_fetch*1e3:.2f} | LRF {1e3*(t_lrf-t_fetch):.2f} "

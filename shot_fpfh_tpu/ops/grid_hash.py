@@ -163,13 +163,17 @@ def _cell_starts_device(ids_sorted: jnp.ndarray, padded_len: int) -> jnp.ndarray
     ).astype(jnp.int32)
 
 
-WINDOW_GROUP = 8  # row-group size of the grouped feature-planar gather
+# Row-group size of the grouped feature-planar gather.  The gather is
+# INDEX-bound (~278M idx/s at every row width measured, 32-256 B), so G=16
+# halves the index count for a few % more straddle lanes.  Round-4 hardware
+# A/B on the headline workload (fused kernel on, 4096 desc / 50k cloud):
+# G=8 fetch 2.59 ms -> G=16 1.60 ms, end-to-end 4.60 -> 4.44 ms (923k
+# desc/s); G=32 gives the same fetch but a wider window (W 768 -> 1024),
+# losing the gain to LRF/binning compute.  Hence default 16.
+WINDOW_GROUP = 16
 
-# Call-time override for the production window fetch's group size.  The
-# gather is INDEX-bound (~278M idx/s at every row width measured, 32-256 B),
-# so G=16/32 cut its index count 2/4x for a few % more straddle lanes —
-# worth it IF the index rate holds at 512 B/1 KB rows (to be measured on
-# hardware; 0 = keep the measured default G=8).
+# Call-time override for the production window fetch's group size
+# (0 = keep the measured default G=16).
 _WINDOW_GROUP_OVERRIDE = int(__import__("os").environ.get(
     "SHOT_FPFH_WINDOW_GROUP", "0"))
 
@@ -485,7 +489,8 @@ def _xyrow_runs(grid: HashGrid, queries: jnp.ndarray):
     return start.astype(jnp.int32), jnp.maximum(end, start).astype(jnp.int32)
 
 
-def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
+def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray,
+                          group: int = 0):
     """Gather each query's candidate window at ``group``-row granularity.
 
     XLA's row gather is INDEX-bound (~0.3M indices/ms at any row width up to
@@ -512,6 +517,7 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     cutting the run-table lookups and group-straddle padding ~5x for ~1.5%
     more candidate lanes (measured 8.46 -> 5.8 ms on the round-3 headline
     descriptor+matching rep)."""
+    group = group or window_group_default()
     xyrow_caps = {
         8: getattr(grid, "xyrow_group_cap", 0),
         16: getattr(grid, "xyrow_group_cap16", 0),
@@ -550,7 +556,7 @@ def grouped_window_gather(grid: HashGrid, queries: jnp.ndarray, group: int = 8):
     # which is typically much tighter.
     if use_xyrow:
         gc = xyrow_caps[group]
-    elif group == WINDOW_GROUP and getattr(grid, "group_cap", 0):
+    elif group == 8 and getattr(grid, "group_cap", 0):
         gc = grid.group_cap
     elif group == 16 and getattr(grid, "group_cap16", 0):
         gc = grid.group_cap16

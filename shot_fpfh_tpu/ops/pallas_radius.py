@@ -60,15 +60,17 @@ _FUSED = {"enabled": None}  # None: resolve from SHOT_FPFH_FUSED on first use
 def fused_kernels_enabled() -> bool:
     """Whether the fused Pallas descriptor kernels (ops/pallas_shot_fused,
     ops/pallas_fpfh_fused) replace the XLA window paths.  TPU only —
-    CPU/virtual-mesh runs always keep the XLA path (same math).  The process
-    default comes from ``SHOT_FPFH_FUSED`` (off unless set to a value other
-    than ``0``); use :func:`set_fused_kernels` to toggle at runtime — the
-    flag is read at TRACE time, so mutating the environment variable after
-    a program has compiled has no effect."""
+    CPU/virtual-mesh runs always keep the XLA path (same math).  Default ON
+    since the round-4 hardware A/B (benchmarks/profile_window.py on a v5e
+    chip: fused 4.60 ms vs XLA 4.75 ms per 4096 descriptors, with all 10
+    hardware-parity tests green); set ``SHOT_FPFH_FUSED=0`` to force the XLA
+    path.  Use :func:`set_fused_kernels` to toggle at runtime — the flag is
+    read at TRACE time, so mutating the environment variable after a program
+    has compiled has no effect."""
     if _FUSED["enabled"] is None:
         import os
 
-        _FUSED["enabled"] = os.environ.get("SHOT_FPFH_FUSED", "0") != "0"
+        _FUSED["enabled"] = os.environ.get("SHOT_FPFH_FUSED", "1") != "0"
     return _FUSED["enabled"] and _on_tpu()
 
 
@@ -87,9 +89,12 @@ _DMA = {"enabled": None}  # None: resolve from SHOT_FPFH_DMA on first use
 def dma_kernel_enabled() -> bool:
     """Whether the run-DMA fused SHOT kernel (ops/pallas_shot_dma) replaces
     the gather-based window path on qualifying grids (xy-row mode with
-    normals extras).  TPU only; default from ``SHOT_FPFH_DMA`` (off until
-    device timings exist — DESIGN.md §11); same trace-time semantics as
-    :func:`fused_kernels_enabled`."""
+    normals extras).  TPU only; default OFF: the round-4 hardware A/B
+    measured 4.65 ms per 4096 descriptors — better than the XLA path
+    (4.75 ms) but behind the gather+fused-kernel route (4.60 ms), so its
+    in-kernel fetch buys nothing over the XLA gather on this workload
+    (DESIGN.md §11).  Set ``SHOT_FPFH_DMA=1`` to enable; same trace-time
+    semantics as :func:`fused_kernels_enabled`."""
     if _DMA["enabled"] is None:
         import os
 
