@@ -37,29 +37,75 @@ def _knn_target_radii(grid, queries, k, sample, sample_kth):
 
     Calibrates the local relation between a query's candidate-window count
     (9 cell_starts lookups — no point data touched) and its k-th-neighbor
-    distance on the host-side sample: ``r_k ≈ A · wcnt^(−e)`` with the
-    geometry exponent ``e`` fit in log space (≈1/2 on surface clouds where
-    count ∝ r², ≈1/3 volumetric) and a residual-quantile safety margin.
-    Returns radii clipped to the grid's coverage contract (≤ cell_size)."""
+    distance on a sampled subset: ``r_k ≈ A · wcnt^(−e)`` with the geometry
+    exponent ``e`` fit in log space (≈1/2 on surface clouds where count ∝
+    r², ≈1/3 volumetric) and a residual-quantile safety margin.  Entirely
+    traceable (jnp throughout) so the whole calibration rides inside the
+    fused one-dispatch program (`_streaming_knn_fused`); returns radii
+    clipped to the grid's coverage contract (≤ cell_size)."""
     from ..ops.grid_hash import _zcolumn_runs
 
     r_hat = float(grid.cell_size_static)
     s, e_ = _zcolumn_runs(grid, jnp.asarray(sample, jnp.float32))
-    wcnt_s = np.maximum(np.asarray(jnp.sum(e_ - s, axis=1)), 1.0)
-    x = np.log(wcnt_s)
-    y = np.log(np.maximum(np.asarray(sample_kth), 1e-9))
-    var = float(np.var(x))
-    e_fit = -float(np.cov(x, y)[0, 1] / var) if var > 1e-12 else 0.5
-    e_fit = float(np.clip(e_fit, 1.0 / 3.0, 0.6))
-    log_a = float(np.median(y + e_fit * x))
+    wcnt_s = jnp.maximum(jnp.sum(e_ - s, axis=1).astype(jnp.float32), 1.0)
+    x = jnp.log(wcnt_s)
+    y = jnp.log(jnp.maximum(jnp.asarray(sample_kth, jnp.float32), 1e-9))
+    var = jnp.var(x)
+    cov_xy = jnp.mean((x - jnp.mean(x)) * (y - jnp.mean(y)))
+    e_fit = jnp.where(var > 1e-12, -cov_xy / jnp.maximum(var, 1e-12), 0.5)
+    e_fit = jnp.clip(e_fit, 1.0 / 3.0, 0.6)
+    log_a = jnp.median(y + e_fit * x)
     resid = y - (log_a - e_fit * x)
-    # q90 residual + 10%: ~90% of queries covered directly, the rest caught
-    # by the exactness net
-    margin = float(np.exp(np.quantile(resid, 0.90))) * 1.1
+    # q98 residual + 15%: the streaming pass visits the full candidate
+    # window regardless of the per-query radius mask, so a generous margin
+    # is FREE — it only widens the accepted superset — while every query it
+    # covers skips the miss-net re-solve (measured on the 1M bench terrain:
+    # q90 x 1.1 left 1.2% of queries to the net, the dominant cost of the
+    # whole normals stage; q98 x 1.15 leaves 0.01%)
+    margin = jnp.exp(jnp.quantile(resid, 0.98)) * 1.15
     qs, qe = _zcolumn_runs(grid, queries)
     wcnt = jnp.maximum(jnp.sum(qe - qs, axis=1).astype(jnp.float32), 1.0)
-    r_q = np.exp(log_a) * margin * wcnt ** (-e_fit)
+    r_q = jnp.exp(log_a) * margin * wcnt ** (-e_fit)
     return jnp.clip(r_q, r_hat / 8.0, r_hat)
+
+
+_NET_BUCKET = 2048  # static miss-net size: covers 0.2% of 1M queries (q98
+#                     margin leaves ~0.01% measured); larger miss sets fall
+#                     back to the host-side exact path
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bucket", "on_tpu"))
+def _streaming_knn_fused(grid, q, c, sample, kth, pre, k, bucket, on_tpu):
+    """The entire streaming k-NN normals computation in ONE device program:
+    calibration fit + per-query radii + streaming covariance + miss-net
+    (static-``bucket`` ``approx_knn`` re-solve scattered with mode='drop')
+    + eigenvectors.  One dispatch matters: on a remote-attached TPU each
+    separate dispatch costs ~0.15-0.45 s of tunnel latency, which dominated
+    the staged version of this path (measured 2.4 s -> ~1.6 s at 1M).
+
+    Returns ``(normals, n_miss)`` — callers must check ``n_miss <= bucket``
+    and re-solve the (rare) overflow on the host."""
+    from ..ops.neighbors import approx_knn
+    from ..ops.pallas_radius import radius_pca_pallas
+
+    n = c.shape[0]
+    r_q = _knn_target_radii(grid, q, k, sample, kth)
+    if on_tpu:
+        cov, _, cnt = radius_pca_pallas(grid, q, r_q)
+    else:
+        cov, _, cnt = grid_radius_pca(grid, q, r_q)
+    normals = _normals_from_cov(cov, pre)
+    missing = cnt < min(k, n)
+    n_miss = jnp.sum(missing)
+    # fill_value=n: out-of-range rows gather clipped junk and are DROPPED on
+    # the scatter below, so pad lanes never touch a real normal
+    (mi,) = jnp.nonzero(missing, size=bucket, fill_value=n)
+    fix = approx_knn(q[mi], c, k)
+    pre_m = None if pre is None else pre[jnp.minimum(mi, n - 1)]
+    fixed = _normals_from_neighborhoods(q[jnp.minimum(mi, n - 1)], c, fix,
+                                        pre_m)
+    normals = normals.at[mi].set(fixed, mode="drop")
+    return normals, n_miss, cnt
 
 
 def _streaming_knn_normals(q, c, k, pre, sample_size: int = 512):
@@ -72,49 +118,36 @@ def _streaming_knn_normals(q, c, k, pre, sample_size: int = 512):
     exactly the k nearest.  PCA normals only stabilize with more in-plane
     samples, and this removes the top-k selection that dominated 1M-point
     normals (4–5 s → the streaming kernel's ~0.5 s).  Queries whose radius
-    under-covered (count < k) are re-solved with exact brute k-NN, so no
-    normal is ever estimated from fewer than min(k, N) points.  See
-    PARITY.md (round 4)."""
+    under-covered (count < k) are re-solved with a k-NN pass
+    (``approx_max_k`` based — see :func:`ops.neighbors.approx_knn` for the
+    documented upward-only bias), so no normal is ever estimated from fewer
+    than min(k, N) points.  See PARITY.md (round 4)."""
     from ..ops.grid_hash import kth_distance_bound, quantized_kth_radius
-    from ..ops.pallas_radius import _on_tpu, radius_pca_pallas
+    from ..ops.pallas_radius import _on_tpu
 
     n = c.shape[0]
     stride = max(1, n // sample_size)
     sample = c[::stride][:sample_size]
-    kth = np.asarray(kth_distance_bound(sample, c, k))
-    r_hat = quantized_kth_radius(kth)
+    kth = kth_distance_bound(sample, c, k)
+    r_hat = quantized_kth_radius(np.asarray(kth))  # host: static cell size
     grid = build_grid(np.asarray(c), r_hat)
-    r_q = _knn_target_radii(grid, q, k, sample, kth)
-    if _on_tpu():
-        cov, _, cnt = radius_pca_pallas(grid, q, r_q)
-    else:
-        cov, _, cnt = grid_radius_pca(grid, q, r_q)
-    normals = _normals_from_cov(cov, pre)
-    # exactness net (same contract as knn_auto): under-covered queries get an
-    # exact k-NN pass, padded to a pow2 bucket to avoid per-call recompiles
-    missing = np.asarray(cnt) < min(k, n)
-    if missing.any():
+    normals, n_miss, cnt = _streaming_knn_fused(
+        grid, q, jnp.asarray(c), jnp.asarray(sample), kth, pre,
+        k=k, bucket=min(_NET_BUCKET, n), on_tpu=_on_tpu(),
+    )
+    if int(n_miss) > min(_NET_BUCKET, n):
+        # rare overflow (density calibration off for this cloud): exact
+        # grid-accelerated k-NN over the full miss set on the host path
+        missing = np.asarray(cnt) < min(k, n)
+        logger.warning(
+            "streaming k-NN normals net overflow: %.1f%% of %d queries "
+            "under-covered (bucket %d); re-solving exactly",
+            100.0 * missing.mean(), len(missing), _NET_BUCKET,
+        )
         from ..ops.grid_hash import pad_pow2_bucket
 
-        frac = float(missing.mean())
-        if frac > 0.05:
-            logger.warning(
-                "streaming k-NN normals net caught %.1f%% of %d queries "
-                "(adaptive radii undercover); density calibration is off "
-                "for this cloud",
-                100.0 * frac, len(missing),
-            )
-        miss = np.nonzero(missing)[0]
-        mj = jnp.asarray(pad_pow2_bucket(miss))
-        # small miss sets: one brute (miss x N) matmul is cheap; large ones
-        # (miscalibrated density) would re-pay the O(miss·N) selection this
-        # route removes — go back through the grid-accelerated exact k-NN
-        if len(miss) <= 4096:
-            from ..ops.neighbors import knn
-
-            fix = knn(q[mj], c, k)
-        else:
-            fix = knn_auto(q[mj], c, k)
+        mj = jnp.asarray(pad_pow2_bucket(np.nonzero(missing)[0]))
+        fix = knn_auto(q[mj], c, k)
         pre_m = None if pre is None else pre[mj]
         fixed = _normals_from_neighborhoods(q[mj], c, fix, pre_m)
         normals = normals.at[mj].set(fixed)
