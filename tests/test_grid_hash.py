@@ -381,3 +381,36 @@ def test_set_window_group_descriptor_invariant(rng):
             np.testing.assert_allclose(desc(), base, atol=2e-5)
     finally:
         set_window_group(0)
+
+
+def test_grid_cache_hits_on_equal_content(rng):
+    """build_grid returns the SAME object for byte-equal host inputs and a
+    fresh grid once content, cell size, halo, or extras change."""
+    from shot_fpfh_tpu.ops import grid_hash as gh
+
+    pts = clouds(rng, n=500)
+    ext = rng.normal(size=(500, 3)).astype(np.float32)
+    gh.clear_grid_cache()
+    g1 = build_grid(pts, 0.5, extras=ext, halo=2)
+    g2 = build_grid(pts.copy(), 0.5, extras=ext.copy(), halo=2)  # equal bytes
+    assert g2 is g1
+    assert build_grid(pts, 0.4, extras=ext, halo=2) is not g1    # cell size
+    assert build_grid(pts, 0.5, extras=ext, halo=1) is not g1    # halo
+    assert build_grid(pts, 0.5, halo=2) is not g1                # extras off
+    bumped = pts.copy()
+    bumped[0, 0] += 1e-3
+    assert build_grid(bumped, 0.5, extras=ext, halo=2) is not g1  # content
+    # device-array inputs bypass the cache (no forced download)
+    gj = build_grid(jnp.asarray(pts), 0.5, halo=2)
+    assert build_grid(jnp.asarray(pts), 0.5, halo=2) is not gj
+    gh.clear_grid_cache()
+
+
+def test_grid_cache_lru_bound(rng):
+    from shot_fpfh_tpu.ops import grid_hash as gh
+
+    gh.clear_grid_cache()
+    for i in range(gh._GRID_CACHE_MAX + 3):
+        build_grid(clouds(rng, n=64), 0.5)
+    assert len(gh._GRID_CACHE) <= gh._GRID_CACHE_MAX
+    gh.clear_grid_cache()
