@@ -102,7 +102,9 @@ def select_keypoints_iteratively(points, radius, k_max: int = 128) -> np.ndarray
     pts = jnp.asarray(points, jnp.float32)
     if pts.shape[0] < AUTO_GRID_MIN_POINTS:
         return np.nonzero(np.asarray(_iterative_masked(pts, radius)))[0]
-    grid = build_grid(np.asarray(pts), float(radius) / 2, halo=2)
+    grid_pts = (np.ascontiguousarray(points, np.float32)
+                if isinstance(points, np.ndarray) else pts)
+    grid = build_grid(grid_pts, float(radius) / 2, halo=2)
     k_cap = k_max
     nbr = grid_radius_search(grid, pts, radius, k_cap)
     while int(np.asarray(jnp.max(nbr.count))) >= k_cap and k_cap < 8 * k_max:

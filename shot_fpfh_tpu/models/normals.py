@@ -27,6 +27,14 @@ from ..ops.neighbors import radius_search
 logger = logging.getLogger(__name__)
 
 
+def _grid_pts(original, device_arr):
+    """Grid-build input: the host array (content-cacheable) when the caller
+    passed one, otherwise the device array unchanged — never a forced d2h
+    download (ADVICE r4)."""
+    return (np.ascontiguousarray(original, np.float32)
+            if isinstance(original, np.ndarray) else device_arr)
+
+
 def _normals_knn(query_points, cloud_points, k, pre_computed_normals):
     nbr = knn_auto(query_points, cloud_points, k)
     return _normals_from_neighborhoods(query_points, cloud_points, nbr, pre_computed_normals)
@@ -224,7 +232,7 @@ def compute_normals(
         # XLA gather formulation (measured at 1M points).
         from ..ops.pallas_radius import _on_tpu, radius_pca_pallas
 
-        grid = build_grid(np.asarray(cloud_points, np.float32), float(radius))
+        grid = build_grid(_grid_pts(cloud_points, c), float(radius))
         if _on_tpu():
             cov, _, _ = radius_pca_pallas(grid, q, radius)
         else:
@@ -252,7 +260,7 @@ def compute_sphericity(query_points, cloud_points, radius, k_max: int = 64):
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
     if c.shape[0] >= AUTO_GRID_MIN_POINTS:
-        grid = build_grid(np.asarray(c), float(radius))
+        grid = build_grid(_grid_pts(cloud_points, c), float(radius))
         cov, _, _ = grid_radius_pca(grid, q, radius)
         w, _ = eigh3x3(cov)
         return w[..., 0] / (w[..., 2] + 1e-6)
@@ -281,7 +289,7 @@ def local_pca_with_moments(query_points, cloud_points, radius, k_max: int = 64):
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
     if c.shape[0] >= AUTO_GRID_MIN_POINTS:
-        grid = build_grid(np.asarray(c), float(radius) / 2, halo=2)
+        grid = build_grid(_grid_pts(cloud_points, c), float(radius) / 2, halo=2)
         return _pca_moments_window(grid, q, radius)
     return _pca_moments_brute(q, c, radius, k_max)
 
@@ -342,7 +350,7 @@ def compute_pca_based_basic_features(query_points, cloud_points, radius, k_max: 
     q = jnp.asarray(query_points, jnp.float32)
     c = jnp.asarray(cloud_points, jnp.float32)
     if c.shape[0] >= AUTO_GRID_MIN_POINTS:
-        grid = build_grid(np.asarray(c), float(radius))
+        grid = build_grid(_grid_pts(cloud_points, c), float(radius))
         cov, _, _ = grid_radius_pca(grid, q, radius)
         w, v = eigh3x3(cov)
     else:

@@ -293,8 +293,29 @@ def _window_caps(cell_starts: np.ndarray, dims_np: np.ndarray, n: int,
 # (scan+ref pairs, multiscale, bench warm reps, interactive use) skip the
 # rebuild entirely.  Keyed on CONTENT (blake2b of the raw bytes), not object
 # identity, so mutation or a fresh equal array both behave correctly.
-_GRID_CACHE: dict = {}
+_GRID_CACHE: dict = {}  # key -> (HashGrid, estimated device bytes)
 _GRID_CACHE_MAX = int(__import__("os").environ.get("SHOT_FPFH_GRID_CACHE", "8"))
+# Byte budget for retained device buffers (ADVICE r4: each cached 1M-point
+# grid pins ~100 MB of HBM — packed_sorted + pow2-padded cell_starts — so a
+# count-only LRU could silently park ~1 GB).  Default 1 GiB; env-tunable.
+_GRID_CACHE_MAX_BYTES = int(float(
+    __import__("os").environ.get("SHOT_FPFH_GRID_CACHE_BYTES", str(1 << 30))
+))
+
+
+def _grid_nbytes(grid) -> int:
+    """Estimated device footprint: sum of the pytree leaves' nbytes."""
+    return sum(
+        int(leaf.nbytes)
+        for leaf in jax.tree_util.tree_leaves(grid)
+        if hasattr(leaf, "nbytes")
+    )
+
+
+def grid_cache_stats() -> dict:
+    """Observability hook: entry count + total retained device bytes."""
+    total = sum(nbytes for _, nbytes in _GRID_CACHE.values())
+    return {"entries": len(_GRID_CACHE), "bytes": total}
 
 
 def _grid_cache_key(pts: np.ndarray, cell_size: float, extras, halo: int):
@@ -333,11 +354,30 @@ def build_grid(points, cell_size: float, extras=None, halo: int = 1) -> HashGrid
     hit = _GRID_CACHE.pop(key, None)
     if hit is not None:
         _GRID_CACHE[key] = hit  # re-insert: dict preserves order -> LRU
-        return hit
+        return hit[0]
     grid = _build_grid_impl(pts, cell_size, ext, halo)
-    _GRID_CACHE[key] = grid
-    while len(_GRID_CACHE) > _GRID_CACHE_MAX:
-        _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
+    nbytes = _grid_nbytes(grid)
+    if nbytes <= _GRID_CACHE_MAX_BYTES:  # never cache an over-budget grid
+        _GRID_CACHE[key] = (grid, nbytes)
+    stats = grid_cache_stats()
+    while _GRID_CACHE and (
+        len(_GRID_CACHE) > _GRID_CACHE_MAX or stats["bytes"] > _GRID_CACHE_MAX_BYTES
+    ):
+        old_key = next(iter(_GRID_CACHE))
+        if old_key == key and len(_GRID_CACHE) == 1:
+            break  # keep at least the entry just inserted
+        _, old_bytes = _GRID_CACHE.pop(old_key)
+        stats = grid_cache_stats()
+        logger.debug(
+            "grid cache: evicted %.1f MB entry (now %d entries, %.1f MB retained)",
+            old_bytes / 2**20, stats["entries"], stats["bytes"] / 2**20,
+        )
+    logger.debug(
+        "grid cache: inserted %.1f MB grid (%d entries, %.1f MB retained, "
+        "budget %d entries / %.0f MB)",
+        nbytes / 2**20, stats["entries"], stats["bytes"] / 2**20,
+        _GRID_CACHE_MAX, _GRID_CACHE_MAX_BYTES / 2**20,
+    )
     return grid
 
 

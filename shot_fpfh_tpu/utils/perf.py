@@ -27,10 +27,13 @@ def block(x):
 
     def _sync(a):
         if isinstance(a, jax.Array):
-            try:
-                a.block_until_ready()
+            # Device-execution errors (XlaRuntimeError) must propagate here —
+            # swallowing them would surface them later with misleading stage
+            # attribution (ADVICE r4).
+            a.block_until_ready()
+            try:  # best-effort 1-element fetch only; the sync already happened
                 np.asarray(jax.device_get(a.ravel()[-1:] if a.ndim else a))
-            except Exception:  # never let a timing fetch break the pipeline
+            except Exception:
                 pass
         return a
 

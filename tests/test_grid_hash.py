@@ -414,3 +414,25 @@ def test_grid_cache_lru_bound(rng):
         build_grid(clouds(rng, n=64), 0.5)
     assert len(gh._GRID_CACHE) <= gh._GRID_CACHE_MAX
     gh.clear_grid_cache()
+
+
+def test_grid_cache_byte_budget(rng, monkeypatch):
+    """The LRU also bounds retained device bytes (ADVICE r4): under a small
+    byte budget older entries are evicted even when the entry count is under
+    _GRID_CACHE_MAX, and the newest entry always survives."""
+    from shot_fpfh_tpu.ops import grid_hash as gh
+
+    gh.clear_grid_cache()
+    one = gh._grid_nbytes(build_grid(clouds(rng, n=512), 0.5))
+    gh.clear_grid_cache()
+    monkeypatch.setattr(gh, "_GRID_CACHE_MAX_BYTES", int(2.5 * one))
+    for _ in range(4):
+        build_grid(clouds(rng, n=512), 0.5)
+        assert gh.grid_cache_stats()["bytes"] <= int(2.5 * one)
+    assert 1 <= gh.grid_cache_stats()["entries"] <= 2
+    # an over-budget grid is never cached, and doesn't evict what's there
+    monkeypatch.setattr(gh, "_GRID_CACHE_MAX_BYTES", one // 2)
+    before = gh.grid_cache_stats()["entries"]
+    build_grid(clouds(rng, n=512), 0.5)
+    assert gh.grid_cache_stats()["entries"] <= before
+    gh.clear_grid_cache()
