@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Callable
 
 import jax
@@ -30,6 +31,19 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _CHUNK = 1024
+# ref-axis tile for the scanned top-1/top-2 reductions: the (CHUNK, REF_TILE)
+# distance tile (16 MB f32) is reduced into the per-row carry while still hot,
+# instead of materializing + re-reading the full (CHUNK, K_ref) strip
+_REF_TILE = 4096
+
+
+def _match_bf16_default() -> bool:
+    """Descriptor matmuls default to bf16 operands with f32 accumulation
+    (2x MXU rate; descriptors are histogram weights, so the ~0.4% operand
+    rounding is far below the matching noise floor — DESIGN §10).  Opt out
+    per-process with SHOT_FPFH_MATCH_BF16=0."""
+    return os.environ.get("SHOT_FPFH_MATCH_BF16", "1").lower() not in (
+        "0", "false", "")
 
 
 def _pad_rows(x: jnp.ndarray, chunk: int):
@@ -44,22 +58,6 @@ def descriptor_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     an = jnp.sum(a * a, axis=-1, keepdims=True)
     bn = jnp.sum(b * b, axis=-1)[None, :]
     return jnp.maximum(an + bn - 2.0 * (a @ b.T), 0.0)
-
-
-@jax.jit
-def nearest_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray):
-    """Per-row nearest neighbor of ``a`` in ``b``: returns (idx, dist)."""
-
-    def one_chunk(ac):
-        d2 = descriptor_sq_dists(ac, b)
-        d2 = jnp.where(b_valid[None, :], d2, jnp.inf)
-        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-        return idx, jnp.sqrt(jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0])
-
-    ap, n_chunks = _pad_rows(a, _CHUNK)
-    idx, dist = jax.lax.map(one_chunk, ap.reshape(n_chunks, _CHUNK, -1))
-    n = a.shape[0]
-    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
 
 
 def top2_rows(d2: jnp.ndarray):
@@ -78,21 +76,103 @@ def top2_rows(d2: jnp.ndarray):
     return i1, d1_sq, d2_sq
 
 
-@jax.jit
-def top2_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray):
+def top2_merge(carry, tile):
+    """Merge a tile's per-row ``(i1, d1_sq, d2_sq)`` (global indices) into a
+    running carry.  Strict ``<`` keeps the earlier tile on ties, so scanning
+    tiles in index order reproduces dense argmin-first semantics exactly.
+    The merged second-nearest is the second element of the sorted 4-way merge:
+    ``min(max(c1, t1), c2, t2)``."""
+    ci, cd1, cd2 = carry
+    ti, td1, td2 = tile
+    better = td1 < cd1
+    return (
+        jnp.where(better, ti, ci),
+        jnp.where(better, td1, cd1),
+        jnp.minimum(jnp.maximum(cd1, td1), jnp.minimum(cd2, td2)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("use_bf16", "want_top2"))
+def _top_scan(a, b, b_valid, use_bf16: bool, want_top2: bool):
+    """Chunked scan-row x scanned ref-tile nearest / top-2 reduction.
+
+    The (CHUNK, REF_TILE) distance tile is produced by one MXU dot (bf16
+    operands, f32 accumulation when ``use_bf16``) and immediately reduced into
+    the per-row running ``(i1, d1_sq[, d2_sq])`` carry — the full
+    ``(CHUNK, K_ref)`` strip is never materialized, which removes the
+    write + multi-read HBM traffic that dominated the previous matcher at
+    100k x 100k (VERDICT r4 weak #1; ROOFLINE.md "Descriptor matching").
+
+    Norms are computed in f32 FROM the compute-dtype values, so self-distances
+    cancel exactly and bf16 only perturbs the descriptors themselves (≤0.4%
+    relative), not the distance algebra."""
+    n, dim = a.shape
+    nb = b.shape[0]
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    ac = a.astype(cdt)
+    bc = b.astype(cdt)
+    an = jnp.sum(ac.astype(jnp.float32) ** 2, axis=-1)
+    bn = jnp.sum(bc.astype(jnp.float32) ** 2, axis=-1)
+
+    ap, n_chunks = _pad_rows(ac, _CHUNK)
+    anp = jnp.pad(an, (0, ap.shape[0] - n))
+    n_tiles = -(-nb // _REF_TILE)
+    pad_b = n_tiles * _REF_TILE - nb
+    b_tiles = jnp.pad(bc, ((0, pad_b), (0, 0))).reshape(n_tiles, _REF_TILE, dim)
+    bn_tiles = jnp.pad(bn, (0, pad_b)).reshape(n_tiles, _REF_TILE)
+    bv_tiles = jnp.pad(b_valid, (0, pad_b), constant_values=False).reshape(
+        n_tiles, _REF_TILE)
+    bases = _REF_TILE * jnp.arange(n_tiles, dtype=jnp.int32)
+
+    def one_chunk(xs):
+        a_c, an_c = xs
+
+        def step(carry, tile):
+            b_t, bn_t, bv_t, base = tile
+            prod = jax.lax.dot_general(
+                a_c, b_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d2t = jnp.maximum(an_c[:, None] + bn_t[None, :] - 2.0 * prod, 0.0)
+            d2t = jnp.where(bv_t[None, :], d2t, jnp.inf)
+            if want_top2:
+                i1t, d1t, d2t2 = top2_rows(d2t)
+                return top2_merge(carry, (base + i1t, d1t, d2t2)), None
+            i1t = jnp.argmin(d2t, axis=-1).astype(jnp.int32)
+            d1t = jnp.take_along_axis(d2t, i1t[:, None], axis=-1)[:, 0]
+            ci, cd1 = carry
+            better = d1t < cd1
+            return (jnp.where(better, base + i1t, ci),
+                    jnp.where(better, d1t, cd1)), None
+
+        shape = (a_c.shape[0],)
+        init = (jnp.zeros(shape, jnp.int32), jnp.full(shape, jnp.inf))
+        if want_top2:
+            init = init + (jnp.full(shape, jnp.inf),)
+        carry, _ = jax.lax.scan(step, init, (b_tiles, bn_tiles, bv_tiles, bases))
+        return carry
+
+    res = jax.lax.map(one_chunk, (ap.reshape(n_chunks, _CHUNK, dim),
+                                  anp.reshape(n_chunks, _CHUNK)))
+    return tuple(r.reshape(-1)[:n] for r in res)
+
+
+def nearest_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
+                       use_bf16: bool | None = None):
+    """Per-row nearest neighbor of ``a`` in ``b``: returns (idx, dist)."""
+    if use_bf16 is None:
+        use_bf16 = _match_bf16_default()
+    idx, d1_sq = _top_scan(a, b, b_valid, use_bf16, False)
+    return idx, jnp.sqrt(d1_sq)
+
+
+def top2_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
+                    use_bf16: bool | None = None):
     """Nearest and second-nearest: returns (idx1, d1, d2) — the Lowe-ratio
     ingredients."""
-
-    def one_chunk(ac):
-        d2 = descriptor_sq_dists(ac, b)
-        d2 = jnp.where(b_valid[None, :], d2, jnp.inf)
-        i1, d1_sq, d2_sq = top2_rows(d2)
-        return i1, jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
-
-    ap, n_chunks = _pad_rows(a, _CHUNK)
-    idx, d1, d2 = jax.lax.map(one_chunk, ap.reshape(n_chunks, _CHUNK, -1))
-    n = a.shape[0]
-    return idx.reshape(-1)[:n], d1.reshape(-1)[:n], d2.reshape(-1)[:n]
+    if use_bf16 is None:
+        use_bf16 = _match_bf16_default()
+    idx, d1_sq, d2_sq = _top_scan(a, b, b_valid, use_bf16, True)
+    return idx, jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
 
 
 # ----------------------------------------------------- multiscale kernels ---
