@@ -104,10 +104,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     compute.add_argument("--fused", action="store_const", const=True, default=None,
                          help="Run keypoints+SHOT+matching+RANSAC+ICP as ONE "
                               "XLA program (zero host round-trips). Requires "
-                              "subsampling keypoints, shot_single_scale "
-                              "descriptors and simple/ratio/double matching; "
-                              "falls back to the staged pipeline (with a "
-                              "warning) otherwise.")
+                              "subsampling keypoints, SHOT/FPFH descriptors "
+                              "and simple/ratio/double matching; falls back "
+                              "to the staged pipeline (with a warning) "
+                              "otherwise. Composes with --n_devices: the "
+                              "program shards over the mesh.")
     compute.add_argument("--debug_nans", action="store_const", const=True, default=None)
     compute.add_argument("--debug_shot", action="store_const", const=True, default=None,
                          help="Validate SHOT bin indices and quadrilinear "
@@ -227,8 +228,6 @@ def main(argv=None) -> int:
         elif is_multiscale and not desc_cfg.share_local_rfs:
             reason = ("the fused multiscale leg always shares first-scale "
                       "local frames; drop --no-share_local_rfs")
-        elif mesh is not None:
-            reason = "the fused program is single-chip (drop --n_devices)"
         elif compute_cfg.state_cache:
             reason = "the fused program has no resumable intermediate state"
         else:

@@ -501,7 +501,7 @@ class RegistrationPipeline:
             k_max=self.k_max_descriptor,
             min_neighborhood_size=min_neighborhood_size,
             n_draws=n_draws, draw_size=draw_size, max_iter=max_iter,
-            point_to_plane=point_to_plane, **desc_kwargs,
+            point_to_plane=point_to_plane, mesh=self.mesh, **desc_kwargs,
         )
         jax.block_until_ready(res.icp_transform.rotation)
         self.metrics.stop(
