@@ -41,7 +41,7 @@ from .descriptor_bins import darboux_angles
 # bin_index is pure jnp and lowers on Mosaic as-is — reused verbatim so the
 # kernel's bin-edge rounding is bit-identical to the XLA path's
 from .histogram import bin_index as _bin
-from .pallas_shot import _atan2
+from .descriptor_bins import mosaic_atan2 as _atan2
 
 
 def _darboux(vals_ref, dist_ref, params_ref):

@@ -293,7 +293,7 @@ def _spfh_dma_kernel(qb, n_runs, run_tiles, n_bins, decorrelated,
     via the bodies shared with ``pallas_fpfh_fused``."""
     from .descriptor_bins import darboux_angles
     from .pallas_fpfh_fused import _spfh_hist_decorr, _spfh_hist_joint
-    from .pallas_shot import _atan2
+    from .descriptor_bins import mosaic_atan2 as _atan2
 
     w = n_runs * run_tiles * TILE
     planes, seg_valid = _stream_planes(qb, n_runs, run_tiles, table_ref,

@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .descriptor_bins import N_COS, N_LO, shot_soft_bins
-from .pallas_shot import _atan2
+from .descriptor_bins import mosaic_atan2 as _atan2
 
 
 def _lrf_planes(cx, cy, cz, okf, rho, r):
