@@ -206,7 +206,8 @@ def main(argv=None) -> int:
     if compute_cfg.fused:
         # the fused program covers subsampling keypoints + every reference
         # descriptor config (single/bi/multi-scale SHOT, FPFH) with
-        # nearest/ratio matching (multiscale: plain min-over-scales top-1)
+        # nearest/ratio matching (multiscale: scales concatenate, the
+        # reference workflow's layout, so every matching mode applies)
         # on a single chip; anything else stages
         # accept both multiscale spellings, like the staged dispatcher
         # (reference dispatch-mismatch fix, SURVEY §2.4.4)
@@ -222,9 +223,6 @@ def main(argv=None) -> int:
             reason = "descriptor must be shot_single_scale/shot_bi_scale/shot_multiscale/fpfh"
         elif match_cfg.matching_algorithm not in ("simple", "ratio", "double"):
             reason = "matching must be simple/ratio/double"
-        elif is_multiscale and match_cfg.matching_algorithm != "simple":
-            reason = ("multiscale matching in the fused program is plain "
-                      "min-over-scales top-1; use --matching_algorithm simple")
         elif is_multiscale and not desc_cfg.share_local_rfs:
             reason = ("the fused multiscale leg always shares first-scale "
                       "local frames; drop --no-share_local_rfs")

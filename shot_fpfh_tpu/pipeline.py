@@ -462,7 +462,8 @@ class RegistrationPipeline:
         ``descriptor_choice`` covers the reference's default configs:
         ``shot_single_scale``, ``shot_bi_scale`` (frames at ``radius``, bins
         at ``radius * phi``), ``shot_multiscale`` (scales ``radius * phi**i``
-        with shared first-scale frames and min-over-scales matching), and
+        with shared first-scale frames, scales concatenated to 352*n_scales
+        like the staged path), and
         ``fpfh`` — all mirroring ``compute_descriptors``.
 
         Returns the :class:`~shot_fpfh_tpu.registration.fused.FusedResult`.

@@ -200,7 +200,13 @@ def fused_registration(
         # per-scale SHOT with the first (smallest-radius) scale's frames
         # shared (reference shot_parallelization.py:241-312); the window is
         # fetched ONCE per cloud at the largest radius and every scale masks
-        # it — cheaper than the staged per-scale re-fetch
+        # it — cheaper than the staged per-scale re-fetch.  Scales
+        # CONCATENATE to (Q, 352·S) — the reference multiscale WORKFLOW's
+        # layout (compute_descriptor_multiscale, pipeline.py:223-270), which
+        # the staged pipeline matches like any flat descriptor — so every
+        # fused matching mode (simple/ratio/double) applies; the stacked
+        # min-over-scales matcher remains available through the staged
+        # ``match_descriptors`` (reference matching.py:77-136).
         def ms_stack(kp, kp_valid, sup, nrm, grid):
             descs, rfs = [], None
             for r in ms_radii:
@@ -210,7 +216,7 @@ def fused_registration(
                 if rfs is None:
                     rfs = rfs_s
                 descs.append(d_s)
-            return jnp.stack(descs)          # (S, Q, 352)
+            return jnp.concatenate(descs, axis=1)   # (Q, 352·S)
 
         scan_desc = ms_stack(scan_kp, scan_kp_valid, scan_support,
                              scan_normals, scan_grid)
@@ -224,28 +230,16 @@ def fused_registration(
                          radius, k_max, min_neighborhood_size,
                          grid=ref_grid, rf_radius=rf_radius)
 
-    if descriptor == "shot_multiscale":
-        # min-over-scales top-1 ("infinite-norm proximity"); validity by the
-        # sentinel, like the staged multiscale branch of match_descriptors
-        from .matching import MS_MAX_VAL, multiscale_top1
-
-        nn_idx, ms_dist = multiscale_top1(scan_desc, ref_desc)
-        # validity by the sentinel ALONE, exactly like the staged branch
-        # (matching.py keep = distances < MS_MAX_VAL): a keypoint sparse at
-        # the smallest scale but valid at a larger one still matches; rows
-        # empty at every scale (incl. padding) keep dist = MS_MAX_VAL
-        valid_match = scan_kp_valid & (ms_dist < MS_MAX_VAL)
-    else:
-        # ---- ratio matching ------------------------------------------------
-        ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
-        d2 = descriptor_sq_dists(scan_desc, ref_desc)
-        d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
-        nn_idx, d1_sq, d2_sq = top2_rows(d2)
-        d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))        # inf rows stay inf
-        dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
-        scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
-        ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
-        valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
+    # ---- ratio matching ----------------------------------------------------
+    ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_kp_valid
+    d2 = descriptor_sq_dists(scan_desc, ref_desc)
+    d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
+    nn_idx, d1_sq, d2_sq = top2_rows(d2)
+    d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))        # inf rows stay inf
+    dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
+    scan_ok = jnp.any(scan_desc != 0, axis=1) & scan_kp_valid
+    ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
+    valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
     n_matches = jnp.sum(valid_match)
 
     src = scan_kp                      # (Qs, 3)
@@ -552,6 +546,8 @@ def fused_registration_mesh(
             ref_desc_blk = fpfh_side("ref", d["ref_sup"], d["ref_nrm"],
                                      d["ref_kpi"], d["ref_v"])
         elif descriptor == "shot_multiscale":
+            # scales concatenate to (Q, 352·S) — the reference multiscale
+            # workflow's layout — so the common matching leg below applies
             def ms_stack(kp_blk, v_blk, sup, nrm, g):
                 descs, rfs = [], None
                 for r in ms_radii:
@@ -561,7 +557,7 @@ def fused_registration_mesh(
                     if rfs is None:
                         rfs = rfs_s
                     descs.append(d_s)
-                return jnp.stack(descs)
+                return jnp.concatenate(descs, axis=1)
 
             scan_desc = ms_stack(d["scan_kp"], d["scan_v"], d["scan_sup"],
                                  d["scan_nrm"], d.get("scan_grid"))
@@ -580,26 +576,16 @@ def fused_registration_mesh(
         # ---- matching (scan rows sharded, ref side gathered) ----------------
         ref_kp_full = gat(d["ref_kp"])
         ref_v_full = gat(d["ref_v"])
-        if descriptor == "shot_multiscale":
-            from .matching import MS_MAX_VAL, _ms_combined_top1
-
-            ref_ms = gat(ref_desc_blk, axis=1)             # (S, Qr, D)
-            s_ok = jnp.any(scan_desc != 0, axis=2)
-            r_ok = jnp.any(ref_ms != 0, axis=2)
-            nn_idx, ms_dist = _ms_combined_top1(scan_desc, ref_ms, s_ok, r_ok,
-                                                vary=vary)
-            valid_match = d["scan_v"] & (ms_dist < MS_MAX_VAL)
-        else:
-            ref_desc = gat(ref_desc_blk)                   # (Qr, D)
-            ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_v_full
-            d2 = descriptor_sq_dists(scan_desc, ref_desc)
-            d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
-            nn_idx, d1_sq, d2_sq = top2_rows(d2)
-            d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))
-            dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
-            scan_ok = jnp.any(scan_desc != 0, axis=1) & d["scan_v"]
-            ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
-            valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
+        ref_desc = gat(ref_desc_blk)                   # (Qr, D)
+        ref_ok = jnp.any(ref_desc != 0, axis=1) & ref_v_full
+        d2 = descriptor_sq_dists(scan_desc, ref_desc)
+        d2 = jnp.where(ref_ok[None, :], d2, jnp.inf)
+        nn_idx, d1_sq, d2_sq = top2_rows(d2)
+        d1 = jnp.sqrt(jnp.maximum(d1_sq, 0.0))
+        dsecond = jnp.sqrt(jnp.maximum(d2_sq, 0.0))
+        scan_ok = jnp.any(scan_desc != 0, axis=1) & d["scan_v"]
+        ratio = d1 / jnp.where(dsecond > 0, dsecond, 1.0)
+        valid_match = scan_ok & (ratio <= ratio_threshold) & jnp.isfinite(d1)
         n_matches = jax.lax.psum(jnp.sum(valid_match), AX)
 
         src_blk = d["scan_kp"]
