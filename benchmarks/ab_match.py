@@ -66,14 +66,28 @@ def main():
     b = jnp.asarray(rng.normal(size=(n, 352)).astype(np.float32))
     valid = jnp.ones(n, bool)
 
+    from shot_fpfh_tpu.ops.pallas_match import top2_matmul_pallas
+    from shot_fpfh_tpu.registration.matching import _top_scan
+
     t_old = best_of(lambda: top2_materialized(a, b, valid))
     print(f"old (materialized strip, f32): {t_old:.3f}s", flush=True)
 
-    t_f32 = best_of(lambda: top2_descriptor(a, b, valid, use_bf16=False))
+    t_f32 = best_of(lambda: _top_scan(a, b, valid, False, True))
     print(f"new (ref-tile scan, f32):      {t_f32:.3f}s", flush=True)
 
-    t_bf16 = best_of(lambda: top2_descriptor(a, b, valid, use_bf16=True))
+    t_bf16 = best_of(lambda: _top_scan(a, b, valid, True, True))
     print(f"new (ref-tile scan, bf16):     {t_bf16:.3f}s", flush=True)
+
+    t_pl32 = best_of(lambda: top2_matmul_pallas(a, b, valid, use_bf16=False))
+    print(f"pallas (fused epilogue, f32):  {t_pl32:.3f}s", flush=True)
+
+    t_pl = best_of(lambda: top2_matmul_pallas(a, b, valid, use_bf16=True))
+    print(f"pallas (fused epilogue, bf16): {t_pl:.3f}s", flush=True)
+
+    i_s, d1_s, _ = force(_top_scan(a, b, valid, True, True))
+    i_p, d1_p, _ = force(top2_matmul_pallas(a, b, valid, use_bf16=True))
+    same_p = float(np.mean(np.asarray(i_s) == np.asarray(i_p)))
+    print(f"pallas vs scan bf16 idx agreement: {same_p:.5f}", flush=True)
 
     # agreement check between the variants on this workload
     i_o, d1_o, d2_o = force(top2_materialized(a, b, valid))

@@ -161,7 +161,12 @@ def nearest_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
     """Per-row nearest neighbor of ``a`` in ``b``: returns (idx, dist)."""
     if use_bf16 is None:
         use_bf16 = _match_bf16_default()
-    idx, d1_sq = _top_scan(a, b, b_valid, use_bf16, False)
+    from ..ops.pallas_match import match_kernel_enabled, top2_matmul_pallas
+
+    if match_kernel_enabled():
+        idx, d1_sq, _ = top2_matmul_pallas(a, b, b_valid, use_bf16=use_bf16)
+    else:
+        idx, d1_sq = _top_scan(a, b, b_valid, use_bf16, False)
     return idx, jnp.sqrt(d1_sq)
 
 
@@ -171,7 +176,13 @@ def top2_descriptor(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
     ingredients."""
     if use_bf16 is None:
         use_bf16 = _match_bf16_default()
-    idx, d1_sq, d2_sq = _top_scan(a, b, b_valid, use_bf16, True)
+    from ..ops.pallas_match import match_kernel_enabled, top2_matmul_pallas
+
+    if match_kernel_enabled():
+        idx, d1_sq, d2_sq = top2_matmul_pallas(a, b, b_valid,
+                                               use_bf16=use_bf16)
+    else:
+        idx, d1_sq, d2_sq = _top_scan(a, b, b_valid, use_bf16, True)
     return idx, jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
 
 
