@@ -308,6 +308,25 @@ def _pallas_hardware_check(log, interpret: bool = False) -> str:
             f"flip frac: {flip.mean():.5f}"
         )
 
+    # fused matmul+top-2 matching kernel vs the XLA tile scan (f32 exact,
+    # bf16 identical on separated descriptors — the production regime)
+    from shot_fpfh_tpu.ops.pallas_match import top2_matmul_pallas
+    from shot_fpfh_tpu.registration.matching import _top_scan
+
+    a_m = jnp.asarray(rng.normal(size=(300, 352)).astype(np.float32))
+    b_m = jnp.asarray(rng.normal(size=(1500, 352)).astype(np.float32))
+    v_m = jnp.ones(1500, bool)
+    for bf16 in (False, True):
+        i_x, d1_x, _ = _top_scan(a_m, b_m, v_m, bf16, True)
+        i_p, d1_p, _ = top2_matmul_pallas(a_m, b_m, v_m, use_bf16=bf16,
+                                          interpret=interpret)
+        agree = float(np.mean(np.asarray(i_p) == np.asarray(i_x)))
+        if agree < (1.0 if not bf16 else 0.995):
+            raise AssertionError(
+                f"match kernel idx agreement {agree} (bf16={bf16})")
+        np.testing.assert_allclose(np.asarray(d1_p), np.asarray(d1_x),
+                                   atol=1e-3)
+
     # fused SPFH vs the XLA path (joint mode)
     qn = rng.normal(size=(32, 3))
     qn = (qn / np.linalg.norm(qn, axis=-1, keepdims=True)).astype(np.float32)

@@ -151,7 +151,11 @@ def _build_device(points: jnp.ndarray, cell_size):
     seg_start = jnp.concatenate([jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]])
     seg = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
     counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg, num_segments=n)
-    return pts[orig_idx], orig_idx, ids_sorted, origin, dims, cell_size, jnp.max(counts)
+    # dims + max_occ packed into ONE small array: the host build needs all
+    # four scalars, and each separate fetch is a full tunnel round trip on
+    # remote-attached TPUs (profile_1m round 5: syncs cost more than the math)
+    meta = jnp.concatenate([dims, jnp.max(counts)[None]])
+    return pts[orig_idx], orig_idx, ids_sorted, origin, dims, cell_size, meta
 
 
 @functools.partial(jax.jit, static_argnames=("padded_len",))
@@ -395,34 +399,42 @@ def _build_grid_impl(points, cell_size: float, extras=None,
     (≤ max(8N, 2^24)); pathologically sparse grids fall back to binary search
     over the 27 fixed cell slots."""
     out = _build_device(jnp.asarray(points, jnp.float32), jnp.float32(cell_size))
-    pts_sorted, orig_idx, ids_sorted, origin, dims, size, max_occ = out
+    pts_sorted, orig_idx, ids_sorted, origin, dims, size, meta = out
+    meta_np = np.asarray(meta)        # ONE d2h sync: dims + max cell occupancy
+    dims_np, max_occ = meta_np[:3], meta_np[3]
     cap = int(np.ceil(max(int(max_occ), 1) / 8) * 8)
     n = pts_sorted.shape[0]
-    dims_np = np.asarray(dims)
     n_cells = int(dims_np[0]) * int(dims_np[1]) * int(dims_np[2])
     has_table = 0 < n_cells <= max(8 * n, 1 << 24)
     if has_table:
-        # Window/column caps run on the HOST from one (N,) id download — the
-        # device formulation was a chain of ~30 eager dispatches (diffs, box
-        # sums) that each cost a tunnel round trip + a per-dims compile on
-        # remote-attached TPUs (measured 238 s cold at 50k points).  The
-        # cell-start lookup table itself is built ON DEVICE with one jitted
-        # searchsorted: uploading the host table is 4 B/cell (a 16M-cell
-        # pow2-padded table = 67 MB ≈ 7 s through the tunnel at 1M points).
-        ids_np = np.asarray(ids_sorted)
-        cell_starts_np = np.searchsorted(
-            ids_np, np.arange(n_cells + 1, dtype=np.int64), side="left"
-        ).astype(np.int32)
+        # Window/column caps run on the HOST from one small download — the
+        # device cap formulation was a chain of ~30 eager dispatches (diffs,
+        # box sums) that each cost a tunnel round trip + a per-dims compile
+        # on remote-attached TPUs (measured 238 s cold at 50k points).  The
+        # cell-start lookup table is built ON DEVICE with one jitted
+        # searchsorted; when the grid is denser than one cell per point the
+        # host copies the (n_cells+1) table prefix (profile_1m round 5:
+        # 0.6 MB vs the 4 MB sorted-ids download this replaces), otherwise
+        # it downloads the ids and searchsorts locally.
+        padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
+        cell_starts = _cell_starts_device(ids_sorted, padded_len)
+        if n_cells + 1 <= n:
+            cell_starts_np = np.asarray(cell_starts[:n_cells + 1])
+        else:
+            cell_starts_np = np.searchsorted(
+                np.asarray(ids_sorted),
+                np.arange(n_cells + 1, dtype=np.int64), side="left"
+            ).astype(np.int32)
         # round the static width up to a multiple of 64 — fewer distinct
         # compile keys across clouds, negligible extra candidate padding
         wcap_raw, col_raw = _window_caps(cell_starts_np, dims_np, n, halo)
         wcap = int(np.ceil(max(wcap_raw, 1) / 64) * 64)
         wcap = min(wcap, int(np.ceil(n / 8) * 8))
         col_cap = int(np.ceil(max(col_raw, 1) / 64) * 64)
-        # shape bucketing: pad the table length to the next power of two
-        # (searchsorted past the last id naturally yields n = empty) so
+        # (the device table length was padded to the next power of two above
+        # — searchsorted past the last id naturally yields n = empty — so
         # clouds with slightly different extents/radii reuse compiled query
-        # programs
+        # programs)
         if n_cells <= 1 << 22:
             group_cap = int(np.ceil(max(
                 _group_cap(cell_starts_np, dims_np, halo, 8), 1) / 16) * 16)
@@ -462,8 +474,6 @@ def _build_grid_impl(points, cell_size: float, extras=None,
             xyrow_group_cap32 = 0
             xyrow_run_cap = 0
             use_xyrow = False
-        padded_len = 1 << int(np.ceil(np.log2(n_cells + 1)))
-        cell_starts = _cell_starts_device(ids_sorted, padded_len)
     else:
         group_cap = 0
         group_cap16 = 0

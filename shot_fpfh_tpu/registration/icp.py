@@ -128,6 +128,16 @@ class IcpHostResult(NamedTuple):
     n_iters: int
 
 
+def _subsampled(scan, sub):
+    """Scan rows at the subsample indices WITHOUT changing the data's side:
+    a device-array scan gathers on device (np.asarray on it would download
+    the full 12 MB cloud through the tunnel per call — ADVICE r4 #5 class),
+    a host array gathers on host (uploading only the subsampled rows)."""
+    if isinstance(scan, jax.Array):
+        return jnp.asarray(scan, jnp.float32)[jnp.asarray(sub)]
+    return np.asarray(scan)[np.asarray(sub)]
+
+
 def icp_point_to_point(
     scan,
     ref,
@@ -141,7 +151,7 @@ def icp_point_to_point(
     (reference ``icp_point_to_point``, icp.py:81-130)."""
     sub = grid_subsample(scan, voxel_size)
     res = icp_point_to_point_jit(
-        np.asarray(scan)[sub], ref,
+        _subsampled(scan, sub), ref,
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
@@ -164,7 +174,7 @@ def icp_point_to_plane(
     """Point-to-plane ICP (reference ``icp_point_to_plane``, icp.py:133-189)."""
     sub = grid_subsample(scan, voxel_size)
     res = icp_point_to_plane_jit(
-        np.asarray(scan)[sub], ref, ref_normals,
+        _subsampled(scan, sub), ref, ref_normals,
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
