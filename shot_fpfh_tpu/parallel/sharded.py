@@ -595,16 +595,29 @@ def ring_match(
         out_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS)),
     )
     def inner(a_blk, b_blk, bv_blk):
+        # same compute-dtype convention as the single-device matcher
+        # (registration.matching._top_scan): bf16 operands / f32 accumulation
+        # by default, norms computed FROM the rounded values — so the mesh and
+        # single-device paths see identical quantization (and the ref tiles
+        # ride the ICI at half the bytes); SHOT_FPFH_MATCH_BF16=0 restores f32
+        from ..registration.matching import _match_bf16_default
+
+        cdt = jnp.bfloat16 if _match_bf16_default() else jnp.float32
+        a_blk = a_blk.astype(cdt)
+        b_blk = b_blk.astype(cdt)
         qb = b_blk.shape[0]
         me = jax.lax.axis_index(POINTS_AXIS)
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
-        an = jnp.sum(a_blk * a_blk, axis=-1, keepdims=True)
+        an = jnp.sum(a_blk.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
 
         def step(carry, i):
             b_cur, bv_cur, best_d, best_i, second_d = carry
             src = (me - i) % n_dev  # origin shard of the tile we hold now
-            bn = jnp.sum(b_cur * b_cur, axis=-1)[None, :]
-            d2m = jnp.maximum(an + bn - 2.0 * (a_blk @ b_cur.T), 0.0)
+            bn = jnp.sum(b_cur.astype(jnp.float32) ** 2, axis=-1)[None, :]
+            prod = jax.lax.dot_general(
+                a_blk, b_cur, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d2m = jnp.maximum(an + bn - 2.0 * prod, 0.0)
             d2m = jnp.where(bv_cur[None, :], d2m, jnp.inf)
             from ..registration.matching import top2_rows
 

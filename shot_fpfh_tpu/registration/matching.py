@@ -326,19 +326,6 @@ def _use_mesh(mesh) -> bool:
     return mesh is not None and mesh.devices.size > 1
 
 
-def _top2(a, b, mesh):
-    """(idx, d1, d2) of nearest/second-nearest ``b`` row per ``a`` row —
-    single-chip chunked matmul (inputs may live on device already), or ref
-    tiles riding the ICI ring when a multi-device mesh is given."""
-    if _use_mesh(mesh):
-        from ..parallel.sharded import ring_match
-
-        res = ring_match(np.asarray(a), np.asarray(b), mesh)
-        return res.idx, res.d1, res.d2
-    idx, d1, d2 = top2_descriptor(a, b, jnp.ones(len(b), bool))
-    return np.asarray(idx), np.asarray(d1), np.asarray(d2)
-
-
 def basic_matching(scan_descriptors, ref_descriptors, mesh=None):
     """Each non-empty scan descriptor matched to its nearest non-empty ref
     descriptor (reference ``basic_matching``, matching/matching.py:149-169).
@@ -357,6 +344,15 @@ def basic_matching(scan_descriptors, ref_descriptors, mesh=None):
     return scan_nz, ref_nz[np.asarray(idx)]
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _lowe_keep(d1, d2, threshold):
+    """Ratio-test mask ON DEVICE (d2 == 0 -> ratio := 1, i.e. rejected at any
+    threshold < 1): only a (K,) bool crosses to the host instead of two f32
+    distance vectors."""
+    ratio = jnp.where(d2 > 0, d1 / jnp.where(d2 > 0, d2, 1.0), 1.0)
+    return ratio <= threshold
+
+
 def lowe_matching(scan_descriptors, ref_descriptors, threshold: float = 0.8,
                   verbose=True, mesh=None):
     """Ratio-test matching: keep matches whose nearest/second-nearest distance
@@ -364,9 +360,17 @@ def lowe_matching(scan_descriptors, ref_descriptors, threshold: float = 0.8,
     ``double_matching_with_rejects``, matching/matching.py:172-221)."""
     scan_nz, a = _split_nonzero(scan_descriptors)
     ref_nz, b = _split_nonzero(ref_descriptors)
-    idx, d1, d2 = _top2(a, b, mesh)
-    ratio = np.divide(d1, d2, out=np.ones_like(d1), where=d2 > 0)
-    mask = ratio <= threshold
+    if _use_mesh(mesh):
+        from ..parallel.sharded import ring_match
+
+        res = ring_match(np.asarray(a), np.asarray(b), mesh)
+        idx, d1, d2 = res.idx, res.d1, res.d2
+        ratio = np.divide(d1, d2, out=np.ones_like(d1), where=d2 > 0)
+        mask = ratio <= threshold
+    else:
+        idx_j, d1_j, d2_j = top2_descriptor(a, b, jnp.ones(len(b), bool))
+        mask = np.asarray(_lowe_keep(d1_j, d2_j, jnp.float32(threshold)))
+        idx = np.asarray(idx_j)
     if verbose:
         logger.info("Kept %d matches out of %d descriptors.", mask.sum(), len(scan_nz))
     return scan_nz[mask], ref_nz[idx[mask]]

@@ -18,4 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def test_pallas_hardware_check_logic():
     from bench import _pallas_hardware_check
 
-    assert _pallas_hardware_check(lambda m: None, interpret=True) == "passed"
+    # smaller shapes than the bench's compiled run: interpret-mode Pallas
+    # cost scales with element count (the full 4096-point check was 137 s of
+    # the slow suite for the same logic coverage)
+    assert _pallas_hardware_check(
+        lambda m: None, interpret=True, n_points=2048, n_q=64
+    ) == "passed"

@@ -98,7 +98,7 @@ def test_fused_registration_dma_route_matches_gather():
     from shot_fpfh_tpu.registration.fused import fused_registration
 
     rng = np.random.default_rng(5)
-    n = 3000
+    n = 1800  # small: interpret-mode run-DMA cost scales with rows x window
     xy = rng.uniform(-4, 4, size=(n, 2))
     z = 0.5 * np.sin(1.5 * xy[:, 0]) * np.cos(1.1 * xy[:, 1])
     ref = (np.column_stack([xy, z])

@@ -277,7 +277,7 @@ def test_sharded_fpfh_dma_route_matches_gather(mesh, monkeypatch):
     from shot_fpfh_tpu.ops import grid_hash
 
     rng = np.random.default_rng(12)
-    n = 4300
+    n = 2600
     xy = rng.uniform(-4, 4, size=(n, 2))
     z = 0.4 * np.sin(xy[:, 0]) * np.cos(1.3 * xy[:, 1])
     pts = np.column_stack([xy, z]).astype(np.float32)
@@ -285,7 +285,7 @@ def test_sharded_fpfh_dma_route_matches_gather(mesh, monkeypatch):
     nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
     kp_idx = np.arange(0, n, 37, dtype=np.int32)
 
-    monkeypatch.setattr(grid_hash, "AUTO_GRID_MIN_POINTS", 4000)
+    monkeypatch.setattr(grid_hash, "AUTO_GRID_MIN_POINTS", 2000)
     ref = np.asarray(sharded_fpfh(kp_idx, pts, nrm, 0.5, mesh, n_bins=5))
     # the real gate is TPU-only: force it open (interpret mode resolves
     # automatically on CPU) and prove the DMA block actually ran

@@ -101,21 +101,40 @@ def test_two_process_run_matches_single_process(ply_pair, tmp_path):
 
 
 @pytest.mark.slow
-def test_run_multihost_single_process_fpfh(ply_pair):
+def test_run_multihost_single_process_fpfh(tmp_path):
     """The multi-host driver's FPFH leg (single-process smoke: same driver,
-    8 local devices)."""
-    from shot_fpfh_tpu.parallel.multihost import run_multihost
+    8 local devices), with consistently ORIENTED normals stored in the .ply
+    (exercising get_data's normal-ingest path).
 
-    scan_path, ref_path, exact = ply_pair
-    res = run_multihost(
-        scan_path, ref_path, descriptor_choice="fpfh", radius=0.4,
-        reject_threshold=0.95, n_draws=800, max_iter=40,
-    )
-    assert res["process_count"] == 1
+    Why oriented: FPFH's Darboux angles flip with the normal sign, and
+    independently PCA-estimated normals on the two clouds carry random signs
+    — measured match quality on this pair is ~2% unoriented vs ~12% oriented
+    (the reference inherits the same sensitivity).  SHOT re-votes its axes,
+    so the unoriented ``ply_pair`` fixture stays right for the SHOT tests."""
     import jax.numpy as jnp
 
     from shot_fpfh_tpu.core import rotation_angle
+    from shot_fpfh_tpu.models import compute_normals
+    from shot_fpfh_tpu.parallel.multihost import run_multihost
 
+    rng = np.random.default_rng(13)
+    scan, ref, exact = make_pair(rng, n=1500)
+
+    def oriented(pts):
+        n = np.asarray(compute_normals(pts, pts, k=20))
+        return np.where(n[:, 2:3] < 0, -n, n).astype(np.float32)
+
+    scan_path = str(tmp_path / "scan.ply")
+    ref_path = str(tmp_path / "ref.ply")
+    write_ply(scan_path, [scan.astype(np.float32), oriented(scan)],
+              ["x", "y", "z", "nx", "ny", "nz"])
+    write_ply(ref_path, [ref.astype(np.float32), oriented(ref)],
+              ["x", "y", "z", "nx", "ny", "nz"])
+    res = run_multihost(
+        scan_path, ref_path, descriptor_choice="fpfh", radius=0.4,
+        reject_threshold=0.95, n_draws=2000, max_iter=40,
+    )
+    assert res["process_count"] == 1
     ang = float(rotation_angle(
         jnp.asarray(np.array(res["rotation"], np.float32)), exact.rotation))
     assert ang < 0.03

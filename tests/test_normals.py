@@ -189,12 +189,14 @@ def test_radius_pca_pallas_vector_radius(rng):
     from shot_fpfh_tpu.ops.grid_hash import build_grid, grid_radius_pca
     from shot_fpfh_tpu.ops.pallas_radius import radius_pca_pallas
 
-    xy = rng.uniform(-2, 2, size=(1200, 2))
+    # small on purpose: interpret-mode run-DMA cost scales with q x runs
+    # (the 1200-point / 32-query version of this case was 94 s of slow-suite)
+    xy = rng.uniform(-2, 2, size=(600, 2))
     z = 0.3 * np.sin(1.2 * xy[:, 0]) * np.cos(0.8 * xy[:, 1])
     pts = np.column_stack([xy, z]).astype(np.float32)
     grid = build_grid(pts, 0.7)
-    q = jnp.asarray(pts[:32])
-    radii = np.asarray(rng.uniform(0.15, 0.7, size=32), np.float32)
+    q = jnp.asarray(pts[:16])
+    radii = np.asarray(rng.uniform(0.15, 0.7, size=16), np.float32)
     cov_p, bary_p, cnt_p = radius_pca_pallas(grid, q, radii)
     cov_x, bary_x, cnt_x = grid_radius_pca(grid, q, radii)
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))

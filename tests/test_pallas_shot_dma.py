@@ -54,7 +54,7 @@ def _assert_close(dma_desc, ref_desc, frac=1e-3, hard=0.1):
 def test_dma_shot_matches_xla_window_path(rng):
     """One cloud, four behaviors: in-kernel frames, shared (given) frames,
     bi-scale frames from rf_radius, and qb-padding + empty-window queries."""
-    pts, nrm = _surface(8000, rng, scale=4.0)
+    pts, nrm = _surface(4500, rng, scale=4.0)
     radius = 0.9
     grid = build_grid(pts, radius / 2, extras=nrm, halo=2)
     assert grid.use_xyrow and grid.xyrow_run_cap > 0

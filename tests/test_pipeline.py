@@ -490,26 +490,36 @@ def test_fused_multiscale_descriptor_leg_matches_staged(rng):
 
 
 @pytest.mark.slow
+@pytest.fixture(scope="module")
+def grid_branch_pair():
+    """Session-hoisted pair + normals for the 4-config register_pair sweep
+    (VERDICT r4 next #8: the per-test rebuild was ~4x the same work)."""
+    from shot_fpfh_tpu.models import compute_normals as _cn
+
+    rng = np.random.default_rng(0)
+    scan, ref, exact = make_pair(rng, n=2200)
+    scan = scan.astype(np.float32)
+    ref = ref.astype(np.float32)
+    sn = np.asarray(_cn(scan, scan, k=20))
+    rn = np.asarray(_cn(ref, ref, k=20))
+    return scan, ref, exact, sn, rn
+
+
 @pytest.mark.parametrize("kw", [
     {},
     {"descriptor": "fpfh"},
     {"rf_radius": 0.3},
     {"descriptor": "shot_multiscale", "ms_radii": (0.4, 0.6)},
 ])
-def test_register_pair_grid_branch_matches_brute(monkeypatch, rng, kw):
+def test_register_pair_grid_branch_matches_brute(monkeypatch, grid_branch_pair, kw):
     """register_pair's grid branches (FPFH sorted-index mapping, shot_cell
     sizing for bi/multi-scale windows) must give the same registration as the
     brute branches — exercised by forcing the auto-grid threshold down."""
     from shot_fpfh_tpu.core import rotation_angle
-    from shot_fpfh_tpu.models import compute_normals as _cn
     from shot_fpfh_tpu.ops import grid_hash
     from shot_fpfh_tpu.registration.fused import register_pair
 
-    scan, ref, exact = make_pair(rng, n=2200)
-    scan = scan.astype(np.float32)
-    ref = ref.astype(np.float32)
-    sn = np.asarray(_cn(scan, scan, k=20))
-    rn = np.asarray(_cn(ref, ref, k=20))
+    scan, ref, exact, sn, rn = grid_branch_pair
     common = dict(keypoint_voxel=0.25, icp_voxel=0.12, radius=0.45,
                   d_max=0.3, min_neighborhood_size=5, k_max=512,
                   n_draws=1500, **kw)
