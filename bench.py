@@ -326,8 +326,12 @@ def _pallas_hardware_check(log, interpret: bool = False,
         i_x, d1_x, _ = _top_scan(a_m, b_m, v_m, bf16, True)
         i_p, d1_p, _ = top2_matmul_pallas(a_m, b_m, v_m, use_bf16=bf16,
                                           interpret=interpret)
+        # bf16: both sides quantize identically but accumulate in different
+        # orders, so random-normal NEAR-TIES can flip (measured ~0.5-1% on
+        # this worst-case distribution; real descriptors have margins).  At
+        # n_q//2 = 128 rows a 0.995 bound allowed zero flips — use 0.97.
         agree = float(np.mean(np.asarray(i_p) == np.asarray(i_x)))
-        if agree < (1.0 if not bf16 else 0.995):
+        if agree < (1.0 if not bf16 else 0.97):
             raise AssertionError(
                 f"match kernel idx agreement {agree} (bf16={bf16})")
         # SQUARED distances (~550 here): both sides quantize operands

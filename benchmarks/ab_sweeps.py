@@ -69,6 +69,25 @@ def main():
         print(f"sweeps={sweeps}: {per_rep*1e3:.3f} ms/rep "
               f"({n_keypoints/per_rep:,.0f} desc/s)", flush=True)
 
+    # ---- one-hot dtype A/B: does the VPU pack bf16 2x? -----------------
+    os.environ["SHOT_FPFH_JACOBI_SWEEPS"] = "4"
+    oh = {}
+    for flag in ("0", "1"):
+        os.environ["SHOT_FPFH_ONEHOT_BF16"] = flag
+        jax.clear_caches()
+        timed = rep_loop()
+        float(timed(kp_j))
+        best = np.inf
+        for shift in (0.5, 0.25, 0.125):
+            t0 = time.perf_counter()
+            float(timed(kp_j + shift))
+            best = min(best, time.perf_counter() - t0)
+        oh[flag] = best / reps
+        print(f"onehot_bf16={flag}: {oh[flag]*1e3:.3f} ms/rep "
+              f"({n_keypoints/oh[flag]:,.0f} desc/s)", flush=True)
+    os.environ["SHOT_FPFH_ONEHOT_BF16"] = "0"
+    jax.clear_caches()
+
     # accuracy: descriptor drift vs 4 sweeps on one batch
     descs = {}
     for sweeps in ("4", "3", "2"):

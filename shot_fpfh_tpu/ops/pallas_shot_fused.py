@@ -55,6 +55,15 @@ from .descriptor_bins import N_COS, N_LO, shot_soft_bins
 from .descriptor_bins import mosaic_atan2 as _atan2
 
 
+def _onehot_dtype():
+    """One-hot operand dtype for the in-kernel histogram contraction
+    (trace-time; ``SHOT_FPFH_ONEHOT_BF16=1`` for the VPU-width A/B)."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("SHOT_FPFH_ONEHOT_BF16", "0") == "1"
+            else jnp.float32)
+
+
 def _n_sweeps() -> int:
     """Cyclic-Jacobi sweep count for the in-kernel LRF eigh (trace-time).
     4 matches ``ops.eigh3.eigh3x3``; ``SHOT_FPFH_JACOBI_SWEEPS`` exists for
@@ -253,28 +262,39 @@ def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (N_COS, w), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (N_LO, w), 0)
     dims = (((1,), (1,)), ((), ()))
+    # A/B knob: build the one-hot operands in bf16 (halves the VPU element
+    # width of the 10+ (bins, W) mul/add passes IF the VPU packs bf16 2x —
+    # the open question this knob measures; the round-4 "Bad lhs type" was
+    # the explicit fp32 contract precision, not bf16 itself, so the dots use
+    # DEFAULT precision in bf16 mode).  Default f32 until a hardware A/B
+    # shows a win; weights are histogram magnitudes ~1-4, so bf16 rounding
+    # is the same ~0.4% the XLA baseline already accepts (PARITY).
+    hdt = _onehot_dtype()
+    prec = (jax.lax.Precision.DEFAULT if hdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     for qi in range(qb):
         def row(a, qi=qi):
+            return a[qi:qi + 1, :].astype(hdt)
+
+        def rowi(a, qi=qi):
             return a[qi:qi + 1, :]
 
-        # f32 operands: Mosaic rejects bf16 lhs in this A·B^T orientation
-        # ("Bad lhs type", first observed on the round-4 hardware run), and
-        # the proven ``pallas_shot._hist_kernel`` form is f32 anyway.  The
-        # dots are tiny (11×W · 32×W), so the MXU cost is negligible.
-        oh_base = (row(base) == iota_lo).astype(jnp.float32)
+        oh_base = (rowi(base) == iota_lo).astype(hdt)
         b1 = (
             oh_base * row(w_same)
-            + (row(lo_husk) == iota_lo).astype(jnp.float32) * row(w_husk)
-            + (row(lo_vert) == iota_lo).astype(jnp.float32) * row(w_vert)
-            + (row(lo_az) == iota_lo).astype(jnp.float32) * row(w_az)
+            + (rowi(lo_husk) == iota_lo).astype(hdt) * row(w_husk)
+            + (rowi(lo_vert) == iota_lo).astype(hdt) * row(w_vert)
+            + (rowi(lo_az) == iota_lo).astype(hdt) * row(w_az)
         )
         b2 = oh_base * row(w_cnb)
-        a1 = (row(cos_bin) == iota_hi).astype(jnp.float32)
-        a2 = (row(cos_nb) == iota_hi).astype(jnp.float32)
+        a1 = (rowi(cos_bin) == iota_hi).astype(hdt)
+        a2 = (rowi(cos_nb) == iota_hi).astype(hdt)
         acc = jax.lax.dot_general(
-            a1, b1, dimension_numbers=dims, preferred_element_type=jnp.float32
+            a1, b1, dimension_numbers=dims, precision=prec,
+            preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            a2, b2, dimension_numbers=dims, preferred_element_type=jnp.float32
+            a2, b2, dimension_numbers=dims, precision=prec,
+            preferred_element_type=jnp.float32,
         )
         out_ref[qi] = acc
 
