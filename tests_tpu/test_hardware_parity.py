@@ -76,24 +76,30 @@ def test_radius_search_pallas_matches_xla_on_tpu():
         )
 
 
-def test_pallas_shot_matches_xla_on_tpu():
-    from shot_fpfh_tpu.models.shot import compute_shot_descriptor
-    from shot_fpfh_tpu.ops.pallas_shot import shot_descriptor_pallas
-    from shot_fpfh_tpu.ops.grid_hash import build_grid
+def test_match_kernel_matches_xla_on_tpu():
+    """The fused matmul+top-2 matching kernel (ops/pallas_match.py, round 5,
+    replacing the retired three-pass SHOT oracle's slot in this suite) vs
+    the XLA tile scan at both precisions — exact at f32, near-tie-only
+    index drift at bf16."""
+    from shot_fpfh_tpu.ops.pallas_match import top2_matmul_pallas
+    from shot_fpfh_tpu.registration.matching import _top_scan
 
-    pts, nrm = _cloud(n=8000, seed=2)
-    radius = 0.8
-    q = pts[:256]
-    grid = build_grid(pts, radius, extras=nrm)
-    desc_p, _rfs = shot_descriptor_pallas(
-        grid, jnp.asarray(q), radius, min_neighborhood_size=5
-    )
-    desc_x, _ = compute_shot_descriptor(
-        q, pts, nrm, radius, k_max=2048, min_neighborhood_size=5
-    )
-    np.testing.assert_allclose(
-        np.asarray(desc_p), np.asarray(desc_x), atol=2e-3
-    )
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(1500, 352)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6000, 352)).astype(np.float32))
+    valid = np.ones(6000, bool)
+    valid[17] = valid[5101] = False
+    v = jnp.asarray(valid)
+    for bf16 in (False, True):
+        i_x, d1_x, d2_x = _top_scan(a, b, v, bf16, True)
+        i_p, d1_p, d2_p = top2_matmul_pallas(a, b, v, use_bf16=bf16)
+        agree = float(np.mean(np.asarray(i_p) == np.asarray(i_x)))
+        assert agree >= (1.0 if not bf16 else 0.97), (bf16, agree)
+        np.testing.assert_allclose(np.asarray(d1_p), np.asarray(d1_x),
+                                   rtol=2e-3 if bf16 else 1e-4)
+        np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_x),
+                                   rtol=2e-3 if bf16 else 1e-4)
+        assert 17 not in np.asarray(i_p) and 5101 not in np.asarray(i_p)
 
 
 def _window_case(seed=3, q=64, w=256, radius=0.8):
