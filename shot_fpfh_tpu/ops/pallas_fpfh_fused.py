@@ -81,15 +81,22 @@ def _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref):
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_bins, w), 0)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_bins * n_bins, w), 0)
     dims = (((1,), (1,)), ((), ()))
+    # one-hot dtype: bf16 by default (the v5e VPU packs bf16 — round-5 A/B,
+    # pallas_shot_fused._onehot_dtype); DEFAULT dot precision is the Mosaic
+    # form bf16 operands accept (an explicit fp32 contract precision is
+    # rejected, "Bad lhs type")
+    from .pallas_shot_fused import _onehot_dtype
+
+    hdt = _onehot_dtype()
+    prec = (jax.lax.Precision.DEFAULT if hdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     for qi in range(qb):
-        # f32 operands: Mosaic rejects bf16 lhs in this A·B^T orientation
-        # ("Bad lhs type", round-4 hardware run); the dots are tiny
-        # (n_bins×W · n_bins²×W) so the MXU cost is negligible.
-        a = (a_bin[qi:qi + 1, :] == iota_hi).astype(jnp.float32)
-        b = ((lo_bin[qi:qi + 1, :] == iota_lo).astype(jnp.float32)
-             * wgt[qi:qi + 1, :])
+        a = (a_bin[qi:qi + 1, :] == iota_hi).astype(hdt)
+        b = ((lo_bin[qi:qi + 1, :] == iota_lo).astype(hdt)
+             * wgt[qi:qi + 1, :].astype(hdt))
         out_ref[qi] = jax.lax.dot_general(
-            a, b, dimension_numbers=dims, preferred_element_type=jnp.float32
+            a, b, dimension_numbers=dims, precision=prec,
+            preferred_element_type=jnp.float32,
         )
 
 
