@@ -58,7 +58,7 @@ def set_match_kernel(enabled: bool) -> None:
     _MATCH_PALLAS["enabled"] = bool(enabled)
 
 
-def _kernel(a_ref, b_ref, an_ref, bn_ref, bv_ref,
+def _kernel(packed_epilogue, a_ref, b_ref, an_ref, bn_ref, bv_ref,
             i1_ref, d1_ref, d2_ref):
     j = pl.program_id(1)
 
@@ -81,11 +81,38 @@ def _kernel(a_ref, b_ref, an_ref, bn_ref, bv_ref,
     d2t = jnp.maximum(an_ref[:] + bn_ref[:] - 2.0 * prod, 0.0)
     d2t = jnp.where(bv_ref[:] > 0, d2t, jnp.inf)
 
-    i1t = jnp.argmin(d2t, axis=1).astype(jnp.int32)[:, None]   # (BQ, 1)
-    d1t = jnp.min(d2t, axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2t.shape, 1)
-    d2t2 = jnp.min(jnp.where(cols == i1t, jnp.inf, d2t), axis=1,
-                   keepdims=True)
+    if packed_epilogue:
+        # index-in-mantissa trick: non-negative f32 bit patterns order like
+        # the floats, so replacing the low 12 mantissa bits with the column
+        # index makes ONE int min return (quantized distance, argmin) — and
+        # a second masked int min the runner-up — replacing the multi-pass
+        # argmin + take + iota-masked min.  Costs 2^-12 relative distance
+        # quantization (round toward zero), far under the bf16 operand
+        # rounding this mode rides with; ties break to the lowest index,
+        # same as argmin.  Masked +inf columns become NaN-pattern INTEGERS
+        # (0x7f800000 | idx) — harmless: int ordering still puts them above
+        # every finite pattern, and clearing the index bits restores exact
+        # +inf for all-invalid rows.
+        assert d2t.shape[1] <= 1 << 12
+        bits = pltpu.bitcast(jnp.abs(d2t), jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2t.shape, 1)
+        packed = (bits & jnp.int32(~0xFFF)) | cols
+        # (bits come from jnp.abs below, so -0.0 cannot leak a negative
+        # integer pattern into the min)
+        m1 = jnp.min(packed, axis=1, keepdims=True)
+        i1t = m1 & jnp.int32(0xFFF)
+        d1t = pltpu.bitcast(m1 & jnp.int32(~0xFFF), jnp.float32)
+        big = jnp.int32(0x7F7FF000)  # max-finite pattern w/ index bits clear
+        m2 = jnp.min(jnp.where(packed == m1, big, packed), axis=1,
+                     keepdims=True)
+        d2t2 = pltpu.bitcast(m2 & jnp.int32(~0xFFF), jnp.float32)
+        d2t2 = jnp.where(m2 >= big, jnp.inf, d2t2)
+    else:
+        i1t = jnp.argmin(d2t, axis=1).astype(jnp.int32)[:, None]   # (BQ, 1)
+        d1t = jnp.min(d2t, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2t.shape, 1)
+        d2t2 = jnp.min(jnp.where(cols == i1t, jnp.inf, d2t), axis=1,
+                       keepdims=True)
 
     ci, cd1, cd2 = i1_ref[:], d1_ref[:], d2_ref[:]
     gi = j * d2t.shape[1] + i1t
@@ -95,14 +122,28 @@ def _kernel(a_ref, b_ref, an_ref, bn_ref, bv_ref,
     d2_ref[:] = jnp.minimum(jnp.maximum(cd1, d1t), jnp.minimum(cd2, d2t2))
 
 
-@functools.partial(jax.jit, static_argnames=("use_bf16", "interpret"))
+def _packed_default() -> bool:
+    """Packed index-in-mantissa epilogue (A/B knob, default off until a
+    hardware win is recorded): `SHOT_FPFH_MATCH_PACKED=1`."""
+    import os
+
+    return os.environ.get("SHOT_FPFH_MATCH_PACKED", "0") == "1"
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("use_bf16", "interpret", "packed"))
 def top2_matmul_pallas(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
-                       *, use_bf16: bool = True, interpret: bool = False):
+                       *, use_bf16: bool = True, interpret: bool = False,
+                       packed: bool | None = None):
     """Per-row nearest + second-nearest of ``a`` rows among ``b`` rows.
 
     Returns ``(i1 (n,), d1_sq (n,), d2_sq (n,))`` — squared distances, inf
     where no valid ref exists.  Same conventions as
-    ``registration.matching._top_scan(want_top2=True)``."""
+    ``registration.matching._top_scan(want_top2=True)``.  ``packed`` selects
+    the index-in-mantissa epilogue (quantizes distances by 2^-12 relative;
+    default from ``SHOT_FPFH_MATCH_PACKED``)."""
+    if packed is None:
+        packed = _packed_default()
     n, dim = a.shape
     nb = b.shape[0]
     cdt = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -130,7 +171,7 @@ def top2_matmul_pallas(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
     row_spec = pl.BlockSpec((_BQ, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     i1, d1, d2 = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BQ, dp), lambda i, j: (i, 0),

@@ -51,6 +51,35 @@ def test_pallas_top2_matches_xla_scan_bf16(rng):
     assert 7 not in np.asarray(i_p) and 1203 not in np.asarray(i_p)
 
 
+@pytest.mark.parametrize("n_ref", [500, 1024 + 77])
+def test_pallas_top2_packed_epilogue(rng, n_ref):
+    """The index-in-mantissa epilogue returns the same indices as the exact
+    path (2^-11 distance quantization cannot flip anything but true
+    near-ties) and distances within the quantization step; validity masking
+    and all-invalid rows (inf) behave identically."""
+    a = rng.normal(size=(150, 24)).astype(np.float32)
+    b = rng.normal(size=(n_ref, 24)).astype(np.float32)
+    valid = np.ones(n_ref, bool)
+    valid[3] = False
+    i_e, d1_e, d2_e = top2_matmul_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid),
+        use_bf16=False, interpret=True, packed=False)
+    i_p, d1_p, d2_p = top2_matmul_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid),
+        use_bf16=False, interpret=True, packed=True)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+    # clearing 12 of 23 mantissa bits rounds down by up to 2^-11 relative
+    np.testing.assert_allclose(np.asarray(d1_p), np.asarray(d1_e), rtol=6e-4)
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2_e), rtol=6e-4)
+    assert 3 not in np.asarray(i_p)
+    # all-invalid: d1/d2 stay +inf, exactly like the exact epilogue
+    none = np.zeros(n_ref, bool)
+    _, d1_n, d2_n = top2_matmul_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(none),
+        use_bf16=False, interpret=True, packed=True)
+    assert np.isinf(np.asarray(d1_n)).all() and np.isinf(np.asarray(d2_n)).all()
+
+
 def test_pallas_top2_tie_semantics(rng):
     """Duplicate rows across tile boundaries resolve argmin-first, and the
     duplicate's distance lands in d2 (Lowe rejection)."""
