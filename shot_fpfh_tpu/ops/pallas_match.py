@@ -123,8 +123,12 @@ def _kernel(packed_epilogue, a_ref, b_ref, an_ref, bn_ref, bv_ref,
 
 
 def _packed_default() -> bool:
-    """Packed index-in-mantissa epilogue (A/B knob, default off until a
-    hardware win is recorded): `SHOT_FPFH_MATCH_PACKED=1`."""
+    """Packed index-in-mantissa epilogue (`SHOT_FPFH_MATCH_PACKED=1`).
+    Default OFF on the round-5 hardware A/B: 0.128 vs 0.129 s at
+    100k x 100k — the multi-pass argmin was already overlapped with the
+    next tile's dot, so the cheaper epilogue buys nothing (ROOFLINE
+    round-5); kept as the tool if a future shape shows the epilogue
+    serializing."""
     import os
 
     return os.environ.get("SHOT_FPFH_MATCH_PACKED", "0") == "1"
