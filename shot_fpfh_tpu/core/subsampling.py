@@ -58,9 +58,18 @@ def grid_subsample_masked(points: jnp.ndarray, voxel_size) -> tuple[jnp.ndarray,
 
 def grid_subsample(points, voxel_size) -> np.ndarray:
     """Host-facing wrapper matching the reference's ``grid_subsampling``:
-    returns the compacted int array of selected indices."""
-    idx, mask = grid_subsample_masked(jnp.asarray(points), voxel_size)
-    return np.asarray(idx)[np.asarray(mask)]
+    returns the compacted int array of selected indices.
+
+    Transfer-aware: the input rides the content-keyed upload cache (repeat
+    calls over the same cloud skip the h2d copy) and only the selected prefix
+    is downloaded — ``grid_subsample_masked`` packs valid indices to the
+    front, so after one scalar count sync the d2h is ``count * 4`` bytes, not
+    the full padded ``(N,)`` index + mask arrays (~5 MB at 1M points)."""
+    from ..utils.device_cache import to_device_cached
+
+    idx, mask = grid_subsample_masked(to_device_cached(points), voxel_size)
+    count = int(jnp.sum(mask))
+    return np.asarray(idx[:count])
 
 
 @jax.jit

@@ -109,8 +109,11 @@ def icp_point_to_plane_jit(scan_sub, ref, ref_normals, init_rot, init_t, d_max,
 def _maybe_grid(ref, d_max):
     from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
-    if np.asarray(ref).shape[0] >= AUTO_GRID_MIN_POINTS:
-        return build_grid(np.asarray(ref, np.float32), float(d_max))
+    if ref.shape[0] >= AUTO_GRID_MIN_POINTS:
+        # host arrays hit the content-keyed grid cache; device arrays build
+        # uncached rather than paying a full-cloud d2h download just to hash
+        pts = ref if isinstance(ref, jax.Array) else np.asarray(ref, np.float32)
+        return build_grid(pts, float(d_max))
     return None
 
 
@@ -148,10 +151,18 @@ def icp_point_to_point(
     rms_threshold: float = 1e-2,
 ) -> IcpHostResult:
     """Point-to-point ICP on a grid-subsampled scan
-    (reference ``icp_point_to_point``, icp.py:81-130)."""
-    sub = grid_subsample(scan, voxel_size)
+    (reference ``icp_point_to_point``, icp.py:81-130).
+
+    Transfer-aware: ``scan``/``ref`` ride the content-keyed upload cache
+    (``utils/device_cache.py``), so repeated calls over the same clouds skip
+    the ~12 MB/array h2d re-uploads that dominated warm timings through the
+    remote tunnel (ROOFLINE "ICP 1M")."""
+    from ..utils.device_cache import to_device_cached
+
+    scan_d = to_device_cached(scan)
+    sub = grid_subsample(scan_d, voxel_size)
     res = icp_point_to_point_jit(
-        _subsampled(scan, sub), ref,
+        _subsampled(scan_d, sub), to_device_cached(ref),
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
@@ -171,10 +182,16 @@ def icp_point_to_plane(
     max_iter: int = 50,
     rms_threshold: float = 1e-2,
 ) -> IcpHostResult:
-    """Point-to-plane ICP (reference ``icp_point_to_plane``, icp.py:133-189)."""
-    sub = grid_subsample(scan, voxel_size)
+    """Point-to-plane ICP (reference ``icp_point_to_plane``, icp.py:133-189).
+
+    Transfer-aware like :func:`icp_point_to_point` — scan/ref/normals ride
+    the content-keyed upload cache."""
+    from ..utils.device_cache import to_device_cached
+
+    scan_d = to_device_cached(scan)
+    sub = grid_subsample(scan_d, voxel_size)
     res = icp_point_to_plane_jit(
-        _subsampled(scan, sub), ref, ref_normals,
+        _subsampled(scan_d, sub), to_device_cached(ref), to_device_cached(ref_normals),
         jnp.asarray(transformation_init.rotation, jnp.float32),
         jnp.asarray(transformation_init.translation, jnp.float32),
         d_max, max_iter, rms_threshold, grid=_maybe_grid(ref, d_max),
