@@ -330,8 +330,8 @@ def compute_fpfh_descriptor(
         )
     from ..ops.grid_hash import AUTO_GRID_MIN_POINTS, build_grid
 
-    cloud = jnp.asarray(cloud_points, jnp.float32)
-    if cloud.shape[0] >= AUTO_GRID_MIN_POINTS:
+    n_cloud = np.shape(cloud_points)[0]
+    if n_cloud >= AUTO_GRID_MIN_POINTS:
         # grid-window formulation: exact uncapped neighborhoods, no top-k;
         # SPFH computed in sorted order so aggregation reuses the grouped
         # window indices for neighbor-SPFH fetches
@@ -347,8 +347,8 @@ def compute_fpfh_descriptor(
         else:
             spfh_sorted = _spfh_window_sorted(grid, radius, n_bins,
                                               decorrelated)
-        inv_perm = jnp.zeros(cloud.shape[0], jnp.int32).at[grid.orig_idx].set(
-            jnp.arange(cloud.shape[0], dtype=jnp.int32)
+        inv_perm = jnp.zeros(n_cloud, jnp.int32).at[grid.orig_idx].set(
+            jnp.arange(n_cloud, dtype=jnp.int32)
         )
         kp_sorted = inv_perm[jnp.asarray(keypoint_indices, jnp.int32)]
         return _fpfh_window_aggregate(grid, spfh_sorted, kp_sorted, radius)

@@ -213,9 +213,15 @@ def compute_normals(
             k=k, radius=radius,
             pre_computed_normals=pre_computed_normals, k_max=k_max,
         )
-    q = jnp.asarray(query_points, jnp.float32)
-    c = jnp.asarray(cloud_points, jnp.float32)
-    pre = None if pre_computed_normals is None else jnp.asarray(pre_computed_normals, jnp.float32)
+    # large inputs ride the content-keyed upload cache: repeat calls over the
+    # same cloud (and query==cloud aliasing, the get_data default) skip the
+    # ~12 MB/array h2d re-upload that dominated warm 1M timings through the
+    # remote tunnel
+    from ..utils.device_cache import to_device_cached
+
+    q = to_device_cached(query_points)
+    c = to_device_cached(cloud_points)
+    pre = None if pre_computed_normals is None else to_device_cached(pre_computed_normals)
     if k is not None:
         if c.shape[0] >= AUTO_GRID_MIN_POINTS:
             # streaming covariance with adaptive per-query radii: removes the
