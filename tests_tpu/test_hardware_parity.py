@@ -169,10 +169,14 @@ def test_fused_shot_kernel_non_tile_width_on_tpu():
     # Mosaic's f32 transcendentals (rsqrt in the LRF, atan2 in the azimuth)
     # differ by ulps from interpret mode, so points sitting exactly on a bin
     # boundary flip bins: a handful of elements move by a full interpolation
-    # weight (measured: 6/8448 on the round-4 run).  Bound the flip *rate*
-    # and require per-query mass conservation instead of elementwise equality.
+    # weight.  Bound the flip *rate* and require per-query mass conservation
+    # instead of elementwise equality.  Calibration: 6/8448 = 0.07% with f32
+    # one-hots (round 4); the round-5 bf16 one-hot default
+    # (SHOT_FPFH_ONEHOT_BF16) quantizes the interpolation weights, so ulp
+    # differences flip the bf16 rounding decision more often — measured
+    # 0.34% on hardware (f32 mode re-verified at the old rate the same day).
     dd = np.abs(np.asarray(hist) - np.asarray(hist_i))
-    assert (dd > 5e-3).mean() <= 3e-3, (dd.max(), (dd > 5e-3).mean())
+    assert (dd > 5e-3).mean() <= 6e-3, (dd.max(), (dd > 5e-3).mean())
     np.testing.assert_allclose(np.asarray(hist).sum(axis=1),
                                np.asarray(hist_i).sum(axis=1), rtol=1e-3)
 
