@@ -131,6 +131,15 @@ def _decorr_kernel(qb, w, n_bins, vals_ref, dist_ref, params_ref, out_ref):
     _spfh_hist_decorr(qb, w, n_bins, alpha, phi, theta, vf, out_ref)
 
 
+def _default_qb() -> int:
+    """Query-block rows per grid step (``SHOT_FPFH_SPFH_QB``, default 8).
+    Trace-time knob for A/B sweeps; callers that pass ``qb`` explicitly
+    bypass it."""
+    import os
+
+    return int(os.environ.get("SHOT_FPFH_SPFH_QB", "8"))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_bins", "decorrelated", "qb",
                                     "interpret"))
@@ -141,7 +150,7 @@ def spfh_histogram(
     query_normals: jnp.ndarray,  # (C, 3)
     n_bins: int,
     decorrelated: bool,
-    qb: int = 8,
+    qb: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Unnormalized SPFH histograms from a dense candidate window.
@@ -151,6 +160,8 @@ def spfh_histogram(
     ``models.fpfh._spfh_window_block`` (the caller keeps the /count
     epilogue).
     """
+    if qb is None:
+        qb = _default_qb()
     c, f, w = vals.shape
     params = jnp.concatenate(
         [queries.astype(jnp.float32), query_normals.astype(jnp.float32)],

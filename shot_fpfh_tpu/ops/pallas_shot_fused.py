@@ -318,6 +318,16 @@ def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,
     )
 
 
+def _default_qb() -> int:
+    """Query-block rows per grid step (``SHOT_FPFH_SHOT_QB``, default 8).
+    Trace-time knob for A/B sweeps; callers that pass ``qb`` explicitly
+    bypass it.  qb also sets the lane count of the in-kernel Jacobi LRF's
+    (qb, 1) scalar planes."""
+    import os
+
+    return int(os.environ.get("SHOT_FPFH_SHOT_QB", "8"))
+
+
 @functools.partial(jax.jit, static_argnames=("qb", "interpret"))
 def shot_binning_histogram(
     vals: jnp.ndarray,      # (Q, F>=6, W) feature-first window
@@ -327,7 +337,7 @@ def shot_binning_histogram(
     radius,
     rf_dist_inf=None,       # (Q, W) rf-radius validity plane (bi-scale)
     rf_radius=None,
-    qb: int = 8,
+    qb: int | None = None,
     interpret: bool = False,
 ):
     """Unnormalized (Q, 352) SHOT histograms from a dense candidate window.
@@ -342,6 +352,8 @@ def shot_binning_histogram(
     same window).  With ``rfs`` given (e.g. multiscale shared frames), only
     the histograms are returned.
     """
+    if qb is None:
+        qb = _default_qb()
     q, f, w = vals.shape
     compute_rfs = rfs is None
     has_rf_dist = compute_rfs and rf_dist_inf is not None
