@@ -85,19 +85,45 @@ def _spfh_hist_joint(qb, w, n_bins, alpha, phi, theta, vf, out_ref):
     # pallas_shot_fused._onehot_dtype); DEFAULT dot precision is the Mosaic
     # form bf16 operands accept (an explicit fp32 contract precision is
     # rejected, "Bad lhs type")
-    from .pallas_shot_fused import _onehot_dtype
+    from .pallas_shot_fused import _hist_dot_mode, _onehot_dtype
 
     hdt = _onehot_dtype()
     prec = (jax.lax.Precision.DEFAULT if hdt == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
+    # SHOT_FPFH_HIST_DOT (shared with the SHOT kernel): "pair"/"concat" are
+    # the same single dot per query here (there is only one factored group);
+    # "block" row-stacks the per-query operands into ONE
+    # (qb·pa, W) x (qb·pb, W) dot per grid step and extracts the
+    # block-diagonal (n_bins, n_bins²) tiles — qb× redundant flops for
+    # 1/qb the MXU issues.
+    mode = _hist_dot_mode()
+    n_lo = n_bins * n_bins
+    align = 16 if hdt == jnp.bfloat16 else 8
+    pa = -(-n_bins // align) * align
+    pb = -(-n_lo // align) * align
+    a_blocks, b_blocks = [], []
     for qi in range(qb):
         a = (a_bin[qi:qi + 1, :] == iota_hi).astype(hdt)
         b = ((lo_bin[qi:qi + 1, :] == iota_lo).astype(hdt)
              * wgt[qi:qi + 1, :].astype(hdt))
+        if mode == "block":
+            a_blocks.append(jnp.pad(a, ((0, pa - n_bins), (0, 0))))
+            b_blocks.append(jnp.pad(b, ((0, pb - n_lo), (0, 0))))
+            continue
         out_ref[qi] = jax.lax.dot_general(
             a, b, dimension_numbers=dims, precision=prec,
             preferred_element_type=jnp.float32,
         )
+    if mode == "block":
+        big = jax.lax.dot_general(
+            jnp.concatenate(a_blocks, axis=0),
+            jnp.concatenate(b_blocks, axis=0),
+            dimension_numbers=dims, precision=prec,
+            preferred_element_type=jnp.float32,
+        )  # (qb*pa, qb*pb)
+        for qi in range(qb):
+            out_ref[qi] = big[qi * pa:qi * pa + n_bins,
+                              qi * pb:qi * pb + n_lo]
 
 
 def _spfh_hist_decorr(qb, w, n_bins, alpha, phi, theta, vf, out_ref):

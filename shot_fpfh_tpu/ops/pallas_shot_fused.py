@@ -68,6 +68,35 @@ def _onehot_dtype():
             else jnp.bfloat16)
 
 
+def _hist_dot_mode() -> str:
+    """How the per-query factored one-hot contractions are issued to the MXU
+    (trace-time knob ``SHOT_FPFH_HIST_DOT``; round-5 A/B — see
+    docs/ROOFLINE.md):
+
+    - ``pair`` (default): two (11, W) x (32, W) lane-contraction dots per
+      query — the round-4 form.
+    - ``concat``: one (11, 2W) x (32, 2W) dot per query (the two factored
+      groups lane-concatenated into a single deeper contraction) — halves
+      the number of MXU issues.
+    - ``block``: ONE (qb·16, 2W) x (qb·32, 2W) dot per grid step over
+      row-stacked per-query operands, extracting the block-diagonal
+      (11, 32) tiles.  qb× redundant flops, but the MXU runs at ~1.5%
+      utilization on the tiny per-query dots, so trading flops for issue
+      count can win.
+    - ``aside``: fold the five contribution weights into the 11-row cos
+      side instead of the 32-row lo side — the lo one-hots stay pure
+      compares (no mul/add chain on (32, W) shapes), one dot per
+      contribution (5/query).  Same compares, ~4x fewer weighted-sum
+      elements; viable because the ``none`` ablation shows the dots are
+      fully overlapped.
+    - ``none``: skip the dots (histogram = one-hot row sums) — ABLATION
+      ONLY, wrong results; bounds the one-hot build cost.
+    """
+    import os
+
+    return os.environ.get("SHOT_FPFH_HIST_DOT", "pair")
+
+
 def _n_sweeps() -> int:
     """Cyclic-Jacobi sweep count for the in-kernel LRF eigh (trace-time).
     4 matches ``ops.eigh3.eigh3x3``; ``SHOT_FPFH_JACOBI_SWEEPS`` exists for
@@ -276,6 +305,8 @@ def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
     hdt = _onehot_dtype()
     prec = (jax.lax.Precision.DEFAULT if hdt == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
+    mode = _hist_dot_mode()
+    a_blocks, b_blocks = [], []
     for qi in range(qb):
         def row(a, qi=qi):
             return a[qi:qi + 1, :].astype(hdt)
@@ -284,6 +315,24 @@ def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
             return a[qi:qi + 1, :]
 
         oh_base = (rowi(base) == iota_lo).astype(hdt)
+        a1 = (rowi(cos_bin) == iota_hi).astype(hdt)
+        a2 = (rowi(cos_nb) == iota_hi).astype(hdt)
+        if mode == "aside":
+            pairs = (
+                (a1 * row(w_same), oh_base),
+                (a1 * row(w_husk), (rowi(lo_husk) == iota_lo).astype(hdt)),
+                (a1 * row(w_vert), (rowi(lo_vert) == iota_lo).astype(hdt)),
+                (a1 * row(w_az), (rowi(lo_az) == iota_lo).astype(hdt)),
+                (a2 * row(w_cnb), oh_base),
+            )
+            acc = jnp.zeros((N_COS, N_LO), jnp.float32)
+            for a_, b_ in pairs:
+                acc = acc + jax.lax.dot_general(
+                    a_, b_, dimension_numbers=dims, precision=prec,
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[qi] = acc
+            continue
         b1 = (
             oh_base * row(w_same)
             + (rowi(lo_husk) == iota_lo).astype(hdt) * row(w_husk)
@@ -291,16 +340,43 @@ def _binning_histogram_body(qb, w, compute_rfs, has_rf_dist, r, r_rf,
             + (rowi(lo_az) == iota_lo).astype(hdt) * row(w_az)
         )
         b2 = oh_base * row(w_cnb)
-        a1 = (rowi(cos_bin) == iota_hi).astype(hdt)
-        a2 = (rowi(cos_nb) == iota_hi).astype(hdt)
-        acc = jax.lax.dot_general(
-            a1, b1, dimension_numbers=dims, precision=prec,
+        if mode == "pair":
+            acc = jax.lax.dot_general(
+                a1, b1, dimension_numbers=dims, precision=prec,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                a2, b2, dimension_numbers=dims, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[qi] = acc
+        elif mode == "concat":
+            a = jnp.concatenate([a1, a2], axis=1)  # (11, 2W)
+            b = jnp.concatenate([b1, b2], axis=1)  # (32, 2W)
+            out_ref[qi] = jax.lax.dot_general(
+                a, b, dimension_numbers=dims, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        elif mode == "none":  # ablation: no contraction, wrong results
+            out_ref[qi] = (
+                jnp.sum(b1 + b2, axis=1).astype(jnp.float32)[None, :]
+                + jnp.sum(a1 + a2, axis=1).astype(jnp.float32)[:, None]
+            )
+        else:  # block: row-stack, one dot per grid step below
+            pad = jnp.zeros((16 - N_COS, a1.shape[1]), hdt)
+            a_blocks.append(jnp.concatenate(
+                [jnp.concatenate([a1, a2], axis=1),
+                 jnp.concatenate([pad, pad], axis=1)], axis=0))  # (16, 2W)
+            b_blocks.append(jnp.concatenate([b1, b2], axis=1))   # (32, 2W)
+    if mode == "block":
+        a_all = jnp.concatenate(a_blocks, axis=0)  # (qb*16, 2W)
+        b_all = jnp.concatenate(b_blocks, axis=0)  # (qb*32, 2W)
+        big = jax.lax.dot_general(
+            a_all, b_all, dimension_numbers=dims, precision=prec,
             preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            a2, b2, dimension_numbers=dims, precision=prec,
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[qi] = acc
+        )  # (qb*16, qb*32): block-diagonal (11, 32) tiles are the answers
+        for qi in range(qb):
+            out_ref[qi] = big[qi * 16:qi * 16 + N_COS,
+                              qi * N_LO:(qi + 1) * N_LO]
 
 
 def _fused_kernel(qb, w, compute_rfs, has_rf_dist, radius_ref, vals_ref,

@@ -9,6 +9,7 @@ histograms exactly: same Darboux conventions (reference fpfh.py:38-90), same
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from _windows import window_case
@@ -65,3 +66,21 @@ def test_fused_spfh_empty_neighborhood(rng):
     ))
     assert np.all(got[2] == 0)
     assert np.abs(got).sum() > 0
+
+
+def test_spfh_hist_dot_block_identical(rng, monkeypatch):
+    # the shared SHOT_FPFH_HIST_DOT knob: "block" row-stacks the per-query
+    # one-hot operands into one MXU dot per grid step — must be
+    # bit-identical to the default per-query dots (round-5 A/B knob).
+    kp, qn, vals_ff, dist_inf = _window_case(rng, q=11, w=96,
+                                             query_normals=True)
+    outs = {}
+    for mode in ("pair", "block"):
+        monkeypatch.setenv("SHOT_FPFH_HIST_DOT", mode)
+        jax.clear_caches()
+        h = spfh_histogram(
+            jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp),
+            jnp.asarray(qn), 5, False, interpret=True,
+        )
+        outs[mode] = np.asarray(h)
+    np.testing.assert_array_equal(outs["block"], outs["pair"])

@@ -142,3 +142,24 @@ def test_fused_kernel_empty_neighborhoods(rng):
     ))
     assert np.all(got[3] == 0)
     assert np.abs(got[:3]).sum() > 0
+
+
+def test_hist_dot_modes_identical(rng, monkeypatch):
+    # SHOT_FPFH_HIST_DOT reshapes how the factored contraction is issued to
+    # the MXU (pair of dots / one concat dot / one block dot per grid step)
+    # without changing the algebra: histograms and in-kernel frames must be
+    # bit-identical across modes (round-5 A/B knob, docs/ROOFLINE.md).
+    kp, vals_ff, dist_inf = _window_case(rng, q=11, w=96)
+    radius = 0.8
+    outs = {}
+    for mode in ("pair", "concat", "block"):
+        monkeypatch.setenv("SHOT_FPFH_HIST_DOT", mode)
+        jax.clear_caches()
+        h, rfs = shot_binning_histogram(
+            jnp.asarray(vals_ff), jnp.asarray(dist_inf), jnp.asarray(kp),
+            None, radius, interpret=True,
+        )
+        outs[mode] = (np.asarray(h), np.asarray(rfs))
+    for mode in ("concat", "block"):
+        np.testing.assert_array_equal(outs[mode][0], outs["pair"][0])
+        np.testing.assert_array_equal(outs[mode][1], outs["pair"][1])
